@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,7 +26,7 @@ from pathtracer_gaussiansplatting_tpu.core.types import Rays
 
 
 @dataclasses.dataclass(frozen=True)
-class Camera:
+class Camera:  # registered as a pytree below (c2w traced; fov/size static)
     """Pinhole camera. ``c2w`` is 4x4 camera-to-world, OpenGL convention.
 
     Columns of c2w[:3, :3] are (right, up, back); the camera looks along
@@ -52,6 +53,14 @@ class Camera:
     @property
     def position(self):
         return self.c2w[:3, 3]
+
+
+jax.tree_util.register_pytree_node(
+    Camera,
+    lambda c: ((c.c2w,), (c.fov_y_deg, c.width, c.height)),
+    lambda aux, ch: Camera(c2w=ch[0], fov_y_deg=aux[0], width=aux[1],
+                           height=aux[2]),
+)
 
 
 def look_at(eye, target, up=(0.0, 1.0, 0.0)):

@@ -1,0 +1,172 @@
+"""Screen-tile binning of Gaussians (the TPU answer to the hardware TLAS).
+
+The reference gets O(log N) ray-scene intersection from the GPU's BVH
+(BLAS/TLAS built in engine.cpp:534-655, 1385-1520, traversed by RT cores).
+TPUs have no traversal hardware, so we restructure: project every Gaussian to
+the screen, conservatively stamp the tiles its 3-sigma ellipse covers, and
+build fixed-size per-tile depth-sorted index lists with a duplicate+stable-sort
+pass — all static shapes, all inside one jit:
+
+  1. EWA projection: view transform + perspective Jacobian -> 2D covariance,
+     center, radius (pure elementwise math over N).
+  2. Pair expansion: each Gaussian emits up to MAX_TILES_PER_GAUSSIAN
+     (tile_id, gaussian, depth) tuples (statically padded).
+  3. Two stable argsorts (by depth, then by tile) give per-tile front-to-back
+     runs; a searchsorted + gather packs the first K of each run into a dense
+     (num_tiles, K) table.
+
+This mirrors the duplication+radix-sort strategy of 3DGS rasterizers, mapped
+onto XLA sort (which is a fast parallel sort on TPU).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_gaussiansplatting_tpu.core.camera import Camera, view_matrix
+from pathtracer_gaussiansplatting_tpu.core.types import GaussianScene
+from pathtracer_gaussiansplatting_tpu.ops.quaternions import quat_to_rotmat
+
+
+@dataclasses.dataclass(frozen=True)
+class BinningConfig:
+    tile_size: int = 16
+    max_tiles_per_gaussian: int = 16  # static cap on duplicated pairs
+    max_per_tile: int = 256           # K: per-tile list capacity
+    sigma_extent: float = 3.0         # stamp tiles within k sigma
+    near: float = 0.05                # cull behind this view depth
+    radius_clamp_px: float = 512.0    # cap projected radius (huge splats)
+
+
+def project_gaussians(scene: GaussianScene, camera: Camera,
+                      config: BinningConfig):
+    """EWA projection of 3D Gaussians to screen space.
+
+    Returns dict with per-Gaussian:
+      xy:     (N, 2) pixel-space center.
+      depth:  (N,)   view-space depth (positive in front of camera).
+      radius: (N,)   conservative pixel radius of the sigma_extent ellipse.
+      valid:  (N,)   bool — in front of near plane and on screen (pre-clip).
+    """
+    w2c = view_matrix(camera)
+    r_wc = w2c[:3, :3]
+    t_wc = w2c[:3, 3]
+    p_view = scene.means @ r_wc.T + t_wc          # (N, 3), camera looks -z
+    depth = -p_view[:, 2]
+    h, w = camera.height, camera.width
+    fy = 0.5 * h / jnp.tan(jnp.radians(camera.fov_y_deg) / 2.0)
+    fx = fy  # square pixels; fov_x follows from aspect
+
+    z = jnp.maximum(depth, config.near)
+    x_ndc = p_view[:, 0] / z
+    y_ndc = -p_view[:, 1] / z  # image y grows downward
+    xy = jnp.stack([fx * x_ndc + 0.5 * w, fy * y_ndc + 0.5 * h], axis=-1)
+
+    # 3D covariance in view space.
+    rot = quat_to_rotmat(scene.quats)             # (N,3,3)
+    s = jnp.exp(scene.log_scales)
+    rs = rot * s[:, None, :]
+    cov3d = rs @ jnp.swapaxes(rs, -1, -2)         # (N,3,3) world
+    rv = r_wc[None]                               # broadcast world->view
+    cov_view = rv @ cov3d @ jnp.swapaxes(rv, -1, -2)
+
+    # Perspective Jacobian (EWA): d(pixel)/d(view), evaluated at the mean.
+    zero = jnp.zeros_like(z)
+    j00 = fx / z
+    j02 = fx * p_view[:, 0] / (z * z)
+    j11 = -fy / z
+    j12 = fy * p_view[:, 1] / (z * z)
+    # view z axis points backward (depth = -z_view), so d/dz terms flip sign.
+    jac = jnp.stack([
+        jnp.stack([j00, zero, j02], -1),
+        jnp.stack([zero, j11, j12], -1),
+    ], axis=-2)                                   # (N,2,3)
+    cov2d = jac @ cov_view @ jnp.swapaxes(jac, -1, -2)
+    # Low-pass: ensure each splat is at least ~a pixel wide (3DGS +0.3I).
+    cov2d = cov2d + 0.3 * jnp.eye(2)[None]
+
+    mid = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] ** 2
+    lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radius = jnp.minimum(config.sigma_extent * jnp.sqrt(lam_max),
+                         config.radius_clamp_px)
+
+    valid = (depth > config.near)
+    valid &= (xy[:, 0] + radius > 0) & (xy[:, 0] - radius < w)
+    valid &= (xy[:, 1] + radius > 0) & (xy[:, 1] - radius < h)
+    return dict(xy=xy, depth=depth, radius=radius, valid=valid)
+
+
+def num_tiles(camera: Camera, config: BinningConfig) -> Tuple[int, int]:
+    ts = config.tile_size
+    return (-(-camera.width // ts), -(-camera.height // ts))
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "config"))
+def bin_gaussians(proj, tiles_x: int, tiles_y: int, config: BinningConfig):
+    """Build per-tile depth-sorted Gaussian lists.
+
+    Args:
+      proj: output of :func:`project_gaussians`.
+      tiles_x, tiles_y: tile grid dims (static).
+      config: binning config (static).
+
+    Returns:
+      tile_idx:  (T, K) int32 Gaussian indices, front-to-back by mean depth.
+      tile_mask: (T, K) bool  — which entries are real.
+      tile_count:(T,)   int32 — number of Gaussians binned per tile (may
+                 exceed K before truncation; clamped to K here).
+    """
+    ts = config.tile_size
+    m_cap = config.max_tiles_per_gaussian
+    xy, depth, radius, valid = (proj["xy"], proj["depth"], proj["radius"],
+                                proj["valid"])
+    n = xy.shape[0]
+    t_total = tiles_x * tiles_y
+
+    tx0 = jnp.clip(jnp.floor((xy[:, 0] - radius) / ts), 0, tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((xy[:, 0] + radius) / ts), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((xy[:, 1] - radius) / ts), 0, tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((xy[:, 1] + radius) / ts), 0, tiles_y - 1).astype(jnp.int32)
+    bw = tx1 - tx0 + 1                                    # bbox width in tiles
+    bh = ty1 - ty0 + 1
+    count = bw * bh                                       # tiles covered
+
+    # m-th covered tile (row-major in the bbox), statically padded to m_cap.
+    m_ids = jnp.arange(m_cap, dtype=jnp.int32)[None, :]   # (1, M)
+    mx = m_ids % jnp.maximum(bw, 1)[:, None]
+    my = m_ids // jnp.maximum(bw, 1)[:, None]
+    pair_tile = (ty0[:, None] + my) * tiles_x + (tx0[:, None] + mx)
+    pair_ok = valid[:, None] & (m_ids < count[:, None]) & (my < bh[:, None])
+    pair_tile = jnp.where(pair_ok, pair_tile, t_total)    # sentinel bucket
+    pair_gauss = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                                  (n, m_cap))
+
+    flat_tile = pair_tile.reshape(-1)
+    flat_gauss = pair_gauss.reshape(-1)
+    flat_depth = jnp.broadcast_to(depth[:, None], (n, m_cap)).reshape(-1)
+
+    # Stable two-pass sort == sort by (tile, depth) lexicographically.
+    order_d = jnp.argsort(flat_depth, stable=True)
+    tile_by_d = flat_tile[order_d]
+    order_t = jnp.argsort(tile_by_d, stable=True)
+    perm = order_d[order_t]
+    sorted_tile = tile_by_d[order_t]                      # (P,)
+    sorted_gauss = flat_gauss[perm]
+
+    # Per-tile runs -> fixed K slots.
+    starts = jnp.searchsorted(sorted_tile, jnp.arange(t_total, dtype=jnp.int32))
+    ends = jnp.searchsorted(sorted_tile,
+                            jnp.arange(1, t_total + 1, dtype=jnp.int32))
+    k = config.max_per_tile
+    slot = jnp.arange(k, dtype=jnp.int32)[None, :]        # (1, K)
+    gather_pos = jnp.minimum(starts[:, None] + slot, sorted_tile.shape[0] - 1)
+    tile_idx = sorted_gauss[gather_pos]                   # (T, K)
+    tile_mask = slot < (ends - starts)[:, None]
+    tile_idx = jnp.where(tile_mask, tile_idx, 0)
+    tile_count = jnp.minimum(ends - starts, k).astype(jnp.int32)
+    return tile_idx, tile_mask, tile_count

@@ -22,12 +22,18 @@ from pathtracer_gaussiansplatting_tpu.ops import gaussians as gops
 from pathtracer_gaussiansplatting_tpu.ops.composite import composite_weights
 
 
-def dense_topk(scene: GaussianScene, rays: Rays, settings: RenderSettings):
+def dense_topk(scene: GaussianScene, rays: Rays, settings: RenderSettings,
+               sort_depths=None):
     """Top-K nearest contributing Gaussians per ray, sorted front-to-back.
+
+    Args:
+      sort_depths: optional (N,) per-Gaussian depths to order by instead of
+        the exact per-ray peak t — pass view-space mean depths to reproduce
+        the tiled/3DGS ordering approximation for apples-to-apples tests.
 
     Returns:
       idx:   (R, K) int32 Gaussian indices (arbitrary where invalid).
-      t:     (R, K) peak depths, ascending.
+      t:     (R, K) peak depths, in compositing order.
       alpha: (R, K) contribution alphas (0 where invalid).
     """
     m = gops.canonical_transforms(scene.log_scales, scene.quats)  # (N,3,3)
@@ -40,13 +46,16 @@ def dense_topk(scene: GaussianScene, rays: Rays, settings: RenderSettings):
         scene.opacities[None], gval,
         settings.alpha_min, settings.alpha_max, settings.sigma_cut,
     )
-    key = jnp.where(alpha > 0.0, t_peak, jnp.inf)
+    order_key = t_peak if sort_depths is None else jnp.broadcast_to(
+        sort_depths[None, :], t_peak.shape)
+    key = jnp.where(alpha > 0.0, order_key, jnp.inf)
     k = min(settings.max_contribs, scene.num_gaussians)
-    neg_t, idx = jax.lax.top_k(-key, k)       # ascending t
-    t_sel = -neg_t
+    neg_key, idx = jax.lax.top_k(-key, k)     # ascending order key
+    valid = jnp.isfinite(-neg_key)
+    t_sel = jnp.take_along_axis(t_peak, idx, axis=1)
     alpha_sel = jnp.take_along_axis(alpha, idx, axis=1)
-    alpha_sel = jnp.where(jnp.isfinite(t_sel), alpha_sel, 0.0)
-    t_sel = jnp.where(jnp.isfinite(t_sel), t_sel, settings.t_max)
+    alpha_sel = jnp.where(valid, alpha_sel, 0.0)
+    t_sel = jnp.where(valid, t_sel, settings.t_max)
     return idx, t_sel, alpha_sel
 
 
@@ -120,14 +129,14 @@ def trace_dense(scene: GaussianScene, rays: Rays,
 
 
 def render_radiance_dense(scene: GaussianScene, rays: Rays,
-                          settings: RenderSettings):
+                          settings: RenderSettings, sort_depths=None):
     """Radiance-field rendering (3DGS-style): composited SH color + background.
 
     This is the mode used by the golden/gradient tests (BASELINE config #1)
     and by primary-ray dataset rendering when path tracing is disabled.
-    Returns (R, 3) colors.
+    Returns (R, 3) colors. ``sort_depths`` as in :func:`dense_topk`.
     """
-    idx, t, alpha = dense_topk(scene, rays, settings)
+    idx, t, alpha = dense_topk(scene, rays, settings, sort_depths)
     d = rays.directions[:, None, :]
     color = sh_mod.eval_sh(
         scene.sh_coeffs[idx],
