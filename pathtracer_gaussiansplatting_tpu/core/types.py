@@ -220,6 +220,9 @@ class RenderSettings:
     t_min: float = 1e-3
     t_max: float = 1e4
     transmittance_min: float = 1e-4  # early-out threshold (masking, not branching)
+    shadow_eps: float = 0.05  # shadow/bounce origin offset along the normal;
+    # must exceed the surfel thickness or the surface shadows itself
+    # (reference uses 0.05 for the torus sensor, raygen.rgen:67)
     background: tuple = (0.0, 0.0, 0.0)
     ambient: tuple = (0.0, 0.0, 0.0, 1.0)  # rgb + nee strength w (ubo.ambientLight)
     hit_opacity_threshold: float = 0.5     # min accumulated alpha to count a hit

@@ -24,6 +24,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from pathtracer_gaussiansplatting_tpu.ops.quaternions import quat_to_rotmat
+from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
 
 
 def canonical_transforms(log_scales, quats):
@@ -97,11 +98,28 @@ def gaussian_normal(x, mean, m, view_dir=None, eps=1e-8):
     y = jnp.einsum("...ij,...j->...i", m, x - mean)
     n = jnp.einsum("...ji,...j->...i", m, y)  # M^T y = Sigma^{-1}(x - mu)
     n = -n
-    norm = jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), eps)
-    n = n / norm
+    n = safe_normalize(n, eps=eps)
     if view_dir is not None:
         flip = jnp.sign(jnp.sum(n * view_dir, -1, keepdims=True))
         n = jnp.where(flip > 0, -n, n)
+    return n
+
+
+def surfel_normal(log_scales, quats, view_dir=None):
+    """Shortest-principal-axis normal of a Gaussian surfel (..., 3).
+
+    The density-gradient normal (:func:`gaussian_normal`) vanishes for rays
+    through the center; the flattest-axis direction is defined everywhere and
+    is the standard surfel normal for Gaussian surfels. Flipped to face the
+    viewer when ``view_dir`` (ray direction) is given.
+    """
+    rot = quat_to_rotmat(quats)                           # (..., 3, 3)
+    axis_idx = jnp.argmin(log_scales, axis=-1)            # (...,)
+    n = jnp.take_along_axis(
+        rot, axis_idx[..., None, None].repeat(3, -2), axis=-1)[..., 0]
+    if view_dir is not None:
+        flip = jnp.sum(n * view_dir, -1, keepdims=True) > 0
+        n = jnp.where(flip, -n, n)
     return n
 
 

@@ -1,0 +1,209 @@
+"""Multi-bounce path tracer over Gaussian scenes (the hot loop).
+
+Behavioral port of the reference's per-pixel bounce loop
+(raygen_camera.rgen:38-78) + lighting kernel (closesthit.rchit main), built on
+the aggregate-surfel interaction returned by the trace function:
+
+  * Each trace composites the ray's Gaussians into ONE aggregate interaction
+    (expected position/normal/material, accumulated opacity A, transmittance
+    T = 1-A). The escaping fraction T picks up the sky immediately
+    (miss.rmiss: sky = ambient.rgb * 2); the interacting fraction A continues
+    the path. This "splitting" estimator is branch-free and differentiable —
+    the TPU answer to per-ray closest-hit recursion.
+  * NEE strategy mix: with prob p_emissive sample the emissive-Gaussian flux
+    CDF, else the punctual CDF (closesthit.rchit:475-494), each weighted by
+    1/p_strategy; MIS power-2 against the BSDF mixture pdf in both directions
+    (emitter hit via BSDF: closesthit.rchit:455-465; NEE side: :305).
+  * Russian roulette after rr_start_depth with p = clamp(max throughput,
+    rr_min, rr_max) (raygen_camera.rgen:73-77); accumulated radiance clamped
+    at firefly_clamp (=5.0) like raygen_camera.rgen:54.
+  * Everything is masked full-width math — no warp compaction exists on TPU,
+    so dead lanes just multiply by zero (SURVEY.md §7 'multi-bounce
+    divergence').
+
+The loop is a static Python unroll over settings.max_depth (typically 2-8),
+entirely inside one jit.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_gaussiansplatting_tpu.core import rng as rng_mod
+from pathtracer_gaussiansplatting_tpu.core.types import (
+    GaussianScene, PunctualLights, Rays, RenderSettings,
+)
+from pathtracer_gaussiansplatting_tpu.ops import bsdf as bsdf_mod
+from pathtracer_gaussiansplatting_tpu.render import lights as lights_mod
+from pathtracer_gaussiansplatting_tpu.render import reference as ref
+from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_norm
+
+
+def _nee(key, d, scene, tables, punctual, inter, view, settings,
+         visibility_fn):
+    """One next-event-estimation sample per ray. Returns (R, 3) radiance."""
+    r = view.shape[0]
+    pos = inter["position"]
+    n = inter["normal"]
+    alpha = jnp.maximum(inter["alpha_acc"], 1e-8)
+    albedo = inter["albedo"] / alpha[:, None]
+    metallic = inter["metallic"]
+    rough = jnp.maximum(inter["roughness"], 1e-3)
+    ambient_w = settings.ambient[3]
+
+    u_strat = rng_mod.ray_uniform(key, r, 10)[:, 0]
+    u_sel = rng_mod.ray_uniform(key, r, 7)[:, 0]
+    u_disk = rng_mod.ray_uniform(key, r, 8, 2)
+    take_emissive = u_strat < tables.p_emissive
+
+    contrib = jnp.zeros((r, 3))
+
+    # --- Emissive-Gaussian NEE (closesthit.rchit sampleLights) ---
+    em = lights_mod.sample_emissive(u_sel, u_disk, scene, tables)
+    to_l = em["position"] - pos
+    dist_sq = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-4)
+    dist = jnp.sqrt(dist_sq)
+    l_dir = to_l / dist[:, None]
+    n_dot_l = jnp.sum(n * l_dir, -1)
+    cos_light = jnp.abs(jnp.sum(-l_dir * em["normal"], -1))
+    pdf_nee = lights_mod.pdf_nee_solid_angle(
+        em["strength"], tables.emissive_flux, dist_sq, cos_light)
+    pdf_b = bsdf_mod.mixture_pdf(n, view, l_dir, metallic, rough)
+    mis = lights_mod.power2_mis(pdf_nee, pdf_b)
+    brdf = bsdf_mod.eval_bsdf(n, view, l_dir, albedo, metallic, rough)
+    eps = settings.shadow_eps
+    vis = visibility_fn(pos + n * eps, l_dir, dist - 2 * eps)
+    ok = (n_dot_l > 1e-3) & (cos_light > 1e-3) & (pdf_nee > 1e-10)
+    e_contrib = brdf * em["emission"] / jnp.maximum(pdf_nee, 1e-10)[:, None]
+    e_contrib = e_contrib * (mis * vis)[:, None] * ambient_w
+    e_contrib = jnp.where(ok[:, None], e_contrib, 0.0)
+    e_contrib = e_contrib / jnp.maximum(tables.p_emissive, 1e-3)
+    has_e = tables.emissive_flux > 0
+    contrib += jnp.where(take_emissive[:, None] & has_e, e_contrib, 0.0)
+
+    # --- Punctual NEE (closesthit.rchit samplePunctualLights) ---
+    if punctual is not None and punctual.num_lights > 0:
+        pl = lights_mod.sample_punctual(u_sel, punctual, tables, pos)
+        n_dot_lp = jnp.sum(n * pl["direction"], -1)
+        brdf_p = bsdf_mod.eval_bsdf(n, view, pl["direction"], albedo,
+                                    metallic, rough)
+        vis_p = visibility_fn(pos + n * eps, pl["direction"],
+                              pl["dist"] - 2 * eps)
+        p_contrib = brdf_p * pl["radiance"] * (vis_p * pl["inv_prob"])[:, None]
+        p_contrib = jnp.where((n_dot_lp > 1e-3)[:, None], p_contrib, 0.0)
+        p_punct = jnp.maximum(1.0 - tables.p_emissive, 1e-3)
+        p_contrib = p_contrib / jnp.where(has_e, p_punct, 1.0)
+        contrib += jnp.where(take_emissive[:, None], 0.0, p_contrib)
+    return contrib
+
+
+@partial(jax.jit, static_argnames=("settings", "trace_fn", "visibility_fn"))
+def pathtrace(scene: GaussianScene, rays: Rays,
+              settings: RenderSettings, key,
+              tables: Optional[lights_mod.LightTables] = None,
+              punctual: Optional[PunctualLights] = None,
+              trace_fn: Optional[Callable] = None,
+              visibility_fn: Optional[Callable] = None):
+    """Trace one sample-per-pixel of full path-traced radiance.
+
+    Args:
+      key: per-frame PRNG key (use rng.frame_key(base, frame)).
+      trace_fn(scene, rays, settings) -> interaction dict (default dense).
+      visibility_fn(origins, dirs, t_end) -> (R,) transmittance
+        (default dense soft shadows).
+
+    Returns (R, 3) linear radiance.
+    """
+    if trace_fn is None:
+        trace_fn = ref.trace_dense
+    if visibility_fn is None:
+        visibility_fn = lambda o, d, t: ref.visibility_dense(
+            scene, o, d, t, settings)
+    if tables is None:
+        tables = lights_mod.build_light_tables(scene, punctual)
+
+    r = rays.num_rays
+    sky = jnp.asarray(settings.ambient[:3], jnp.float32) * 2.0
+    origins = rays.origins
+    dirs = rays.directions
+    throughput = jnp.ones((r, 3))
+    radiance = jnp.zeros((r, 3))
+    alive = jnp.ones((r,), bool)
+    last_pdf = jnp.zeros((r,))
+
+    for d in range(settings.max_depth):
+        dkey = jax.random.fold_in(key, d)
+        inter = trace_fn(scene, Rays(origins, dirs), settings)
+        alpha = inter["alpha_acc"]
+        trans = inter["trans"]
+
+        # Escaping fraction sees the sky (miss.rmiss: ambient * 2).
+        radiance += jnp.where(alive[:, None],
+                              throughput * trans[:, None] * sky, 0.0)
+
+        # Emitted radiance with MIS against the previous BSDF pdf
+        # (closesthit.rchit:451-466). Depth 0 / pure-BSDF hits add fully.
+        emitted = inter["radiance_emitted"]
+        strength = safe_norm(emitted, axis=-1) / jnp.maximum(alpha, 1e-6)
+        cos_l = jnp.abs(jnp.sum(inter["normal"] * dirs, -1))
+        dist_sq = inter["depth"] ** 2
+        pdf_nee_hit = lights_mod.pdf_nee_solid_angle(
+            strength, tables.emissive_flux, dist_sq, cos_l)
+        pdf_nee_hit = pdf_nee_hit * jnp.where(
+            tables.punctual_flux > 0, tables.p_emissive, 1.0)
+        mis_e = jnp.where(
+            (last_pdf > 0) & jnp.asarray(settings.nee),
+            lights_mod.power2_mis(last_pdf, pdf_nee_hit), 1.0)
+        radiance += jnp.where(alive[:, None],
+                              throughput * emitted * mis_e[:, None], 0.0)
+
+        # Direct lighting at the aggregate surface.
+        view = -dirs
+        if settings.nee:
+            nee_li = _nee(dkey, d, scene, tables, punctual, inter, view,
+                          settings, visibility_fn)
+            radiance += jnp.where(alive[:, None],
+                                  throughput * alpha[:, None] * nee_li, 0.0)
+
+        radiance = jnp.minimum(radiance, settings.firefly_clamp)
+
+        if d + 1 == settings.max_depth:
+            break
+
+        # Scatter (closesthit.rchit opaque path).
+        alpha_safe = jnp.maximum(alpha, 1e-8)
+        albedo_hat = inter["albedo"] / alpha_safe[:, None]
+        u_lobe = rng_mod.ray_uniform(dkey, r, 13)[:, 0]
+        u_dir = rng_mod.ray_uniform(dkey, r, 14, 2)
+        scat = bsdf_mod.sample_bsdf(u_lobe, u_dir, inter["normal"], view,
+                                    albedo_hat, inter["metallic"],
+                                    jnp.maximum(inter["roughness"], 1e-3))
+        throughput = throughput * alpha[:, None] * scat["weight"]
+        last_pdf = scat["pdf"]
+        origins = inter["position"] + inter["normal"] * settings.shadow_eps
+        dirs = scat["direction"]
+
+        max_t = jnp.max(throughput, -1)
+        alive = alive & scat["valid"] & (alpha > 1e-4) \
+            & (max_t > settings.min_throughput)
+
+        # Russian roulette (raygen_camera.rgen:73-77).
+        if d + 1 >= settings.rr_start_depth:
+            p = jnp.clip(max_t, settings.rr_min, settings.rr_max)
+            u_rr = rng_mod.ray_uniform(dkey, r, 20)[:, 0]
+            survive = u_rr <= p
+            throughput = jnp.where(survive[:, None], throughput / p[:, None],
+                                   throughput)
+            alive = alive & survive
+
+    return jnp.minimum(radiance, settings.firefly_clamp)
+
+
+def accumulate(prev, cur, frame):
+    """Progressive accumulation: mix(prev, cur, 1/(frame+1))
+    (raygen_camera.rgen:80-87). frame counts completed samples."""
+    blend = 1.0 / (jnp.asarray(frame, jnp.float32) + 1.0)
+    return prev + (cur - prev) * blend

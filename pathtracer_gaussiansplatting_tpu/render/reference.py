@@ -20,6 +20,7 @@ from pathtracer_gaussiansplatting_tpu.core import sh as sh_mod
 from pathtracer_gaussiansplatting_tpu.core.types import GaussianScene, Rays, RenderSettings
 from pathtracer_gaussiansplatting_tpu.ops import gaussians as gops
 from pathtracer_gaussiansplatting_tpu.ops.composite import composite_weights
+from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
 
 
 def dense_topk(scene: GaussianScene, rays: Rays, settings: RenderSettings,
@@ -72,7 +73,8 @@ def _gather_features(scene: GaussianScene, rays: Rays, idx, t, settings):
     degree = settings.sh_degree
     color = sh_mod.eval_sh(scene.sh_coeffs[idx], jnp.broadcast_to(d, x.shape),
                            degree)
-    normal = gops.gaussian_normal(x, means, m, view_dir=d)
+    normal = gops.surfel_normal(scene.log_scales[idx], scene.quats[idx],
+                                view_dir=d)
     return dict(
         color=color,
         emission=scene.emission[idx],
@@ -110,8 +112,7 @@ def trace_dense(scene: GaussianScene, rays: Rays,
     position = wsum(feats["position"]) / denom
     depth = wsum(t) / denom[..., 0]
     normal = wsum(feats["normal"])
-    nlen = jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
-    normal = normal / nlen
+    normal = safe_normalize(normal)
     metallic = wsum(feats["metallic"]) / denom[..., 0]
     roughness = wsum(feats["roughness"]) / denom[..., 0]
     return dict(

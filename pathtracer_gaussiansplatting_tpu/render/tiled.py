@@ -35,6 +35,7 @@ from pathtracer_gaussiansplatting_tpu.ops.binning import (
     BinningConfig, bin_gaussians, num_tiles, project_gaussians,
 )
 from pathtracer_gaussiansplatting_tpu.ops.composite import composite_weights
+from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
 
 
 def _packet_features(scene: GaussianScene, cam_pos, settings: RenderSettings):
@@ -47,17 +48,9 @@ def _packet_features(scene: GaussianScene, cam_pos, settings: RenderSettings):
     which degenerates for rays through the center).
     """
     dirs = scene.means - cam_pos[None]
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    dirs = safe_normalize(dirs)
     color = sh_mod.eval_sh(scene.sh_coeffs, dirs, settings.sh_degree)
-    from pathtracer_gaussiansplatting_tpu.ops.quaternions import quat_to_rotmat
-
-    rot = quat_to_rotmat(scene.quats)                     # (N,3,3)
-    axis_idx = jnp.argmin(scene.log_scales, axis=-1)      # (N,)
-    normal = jnp.take_along_axis(
-        rot, axis_idx[:, None, None].repeat(3, 1), axis=2
-    )[..., 0]                                             # (N,3) column
-    face = jnp.sign(jnp.sum(normal * dirs, -1, keepdims=True))
-    normal = jnp.where(face > 0, -normal, normal)
+    normal = gops.surfel_normal(scene.log_scales, scene.quats, view_dir=dirs)
     return jnp.concatenate([
         color, scene.emission, scene.metallic[:, None],
         scene.roughness[:, None], normal,
