@@ -1,0 +1,191 @@
+"""Dataset capture: the reference's north-star batch workload.
+
+Port of Engine::captureSceneData (engine.cpp:2658-2814) and capturePanorama
+(engine.cpp:2898-3044):
+
+  * ``total_positions`` random toroidal poses (MT19937 seed 13,
+    engine.cpp:2672-2675: alpha ~ U[0,360), beta ~ U[min_beta,max_beta]),
+    each converged over ``accumulation_steps`` progressive samples, box-
+    downscaled by ``image_divisor``, written as dataset/train/r_i.jpg; every
+    4th frame's metadata goes to the test split (engine.cpp:2763-2764) while
+    all images live under train/ (matching the reference's file layout).
+  * transforms_train.json / transforms_test.json in NeRF-blender format.
+  * A torus-sensor pass accumulates per-ray radiance + first-hit
+    position/normal/flag into the point-cloud buffer, exported as
+    dataset/points3d.ply (engine.cpp:2849-2895).
+
+TPU shape: each frame is ONE jit-compiled accumulation (lax.fori_loop over
+spp inside jit — no host round-trip per sample, unlike the reference's one
+command buffer per accumulation step); ray batches are chunked to bound
+memory, and the same jitted function is reused across all poses.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracer_gaussiansplatting_tpu.core import rng as rng_mod
+from pathtracer_gaussiansplatting_tpu.core.camera import Camera, generate_rays, toroidal_c2w
+from pathtracer_gaussiansplatting_tpu.core.torus import TorusConfig, torus_rays
+from pathtracer_gaussiansplatting_tpu.core.types import Rays, RenderSettings
+from pathtracer_gaussiansplatting_tpu.data.images import box_downscale, save_jpg
+from pathtracer_gaussiansplatting_tpu.data.ply import save_point_cloud_ply
+from pathtracer_gaussiansplatting_tpu.data.transforms import save_transforms_json
+from pathtracer_gaussiansplatting_tpu.render import lights as lights_mod
+from pathtracer_gaussiansplatting_tpu.render import reference as ref
+from pathtracer_gaussiansplatting_tpu.render.pathtrace import pathtrace
+from pathtracer_gaussiansplatting_tpu.sampling.strategies import (
+    SamplingMethod, generate_samples,
+)
+
+CAPTURE_SEED = 13  # engine.cpp:2673 mt19937(13)
+
+
+def make_accumulating_renderer(scene, settings: RenderSettings, punctual,
+                               spp: int, key=None):
+    """One jitted function: rays -> accumulated radiance over spp samples.
+
+    The accumulation loop runs on-device (lax.fori_loop), preserving the
+    reference's progressive mix(prev, cur, 1/(n+1)) semantics
+    (raygen_camera.rgen:80-87) with bitwise-deterministic order.
+    """
+    tables = lights_mod.build_light_tables(scene, punctual)
+    base_key = jax.random.PRNGKey(CAPTURE_SEED) if key is None else key
+
+    @jax.jit
+    def render(origins, directions):
+        rays = Rays(origins, directions)
+
+        def body(i, acc):
+            cur = pathtrace(scene, rays, settings,
+                            rng_mod.frame_key(base_key, i),
+                            tables=tables, punctual=punctual)
+            return acc + (cur - acc) / (i + 1.0)
+
+        init = jnp.zeros((origins.shape[0], 3))
+        return jax.lax.fori_loop(0, spp, body, init)
+
+    return render
+
+
+def render_pose(render_fn, c2w, width, height, fov_y_deg, chunk: int = 65536):
+    """Render one camera pose in ray chunks; returns (H, W, 3) linear."""
+    cam = Camera(c2w=c2w, fov_y_deg=fov_y_deg, width=width, height=height)
+    rays = generate_rays(cam)
+    n = rays.num_rays
+    outs = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        outs.append(np.asarray(render_fn(rays.origins[s:e],
+                                         rays.directions[s:e])))
+    return np.concatenate(outs, 0).reshape(height, width, 3)
+
+
+def capture_scene_data(scene, out_dir: str,
+                       settings: RenderSettings,
+                       torus: TorusConfig = TorusConfig(),
+                       punctual=None,
+                       accumulation_steps: int = 512,
+                       total_positions: int = 336,
+                       min_beta: float = -45.0, max_beta: float = 45.0,
+                       image_divisor: int = 2,
+                       width: int = 800, height: int = 800,
+                       fov_y_deg: float = 45.0,
+                       capture_images: bool = True,
+                       capture_pointcloud: bool = True,
+                       sampling_method: str = "uniform",
+                       num_rays: Optional[int] = None,
+                       chunk: int = 65536,
+                       progress: Optional[Callable[[str], None]] = print):
+    """Full dataset capture (images + transforms + point cloud).
+
+    Returns dict with 'train_frames', 'test_frames', 'num_points'.
+    """
+    cap_rng = np.random.RandomState(CAPTURE_SEED)
+    render_fn = make_accumulating_renderer(scene, settings, punctual,
+                                           accumulation_steps)
+    train_frames, test_frames = [], []
+    os.makedirs(os.path.join(out_dir, "train"), exist_ok=True)
+
+    fov_x = None
+    if capture_images:
+        for i in range(total_positions):
+            alpha = cap_rng.uniform(0.0, 360.0)
+            beta = cap_rng.uniform(min_beta, max_beta)
+            c2w = toroidal_c2w(alpha, beta, torus.major_radius, torus.height)
+            img = render_pose(render_fn, c2w, width, height, fov_y_deg, chunk)
+            img = box_downscale(img, image_divisor)
+            rel = f"./train/r_{i}"
+            save_jpg(os.path.join(out_dir, "train", f"r_{i}.jpg"),
+                     np.clip(img, 0.0, 1.0))
+            frame = dict(file_path=rel, transform_matrix=np.asarray(c2w))
+            # every 4th frame to the test split (engine.cpp:2763-2764)
+            (test_frames if i % 4 == 0 else train_frames).append(frame)
+            if progress:
+                progress(f"captured position {i + 1}/{total_positions} "
+                         f"(alpha={alpha:.1f}, beta={beta:.1f})")
+        cam = Camera(c2w=jnp.eye(4), fov_y_deg=fov_y_deg,
+                     width=width, height=height)
+        fov_x = cam.fov_x_rad
+        save_transforms_json(os.path.join(out_dir, "transforms_train.json"),
+                             fov_x, train_frames)
+        save_transforms_json(os.path.join(out_dir, "transforms_test.json"),
+                             fov_x, test_frames)
+
+    num_points = 0
+    if capture_pointcloud:
+        n_rays = num_rays if num_rays is not None else torus.num_rays
+        uv = generate_samples(SamplingMethod(sampling_method), n_rays)
+        rays = torus_rays(jnp.asarray(uv), torus)
+        positions, normals, colors, flags = [], [], [], []
+        for s in range(0, n_rays, chunk):
+            e = min(s + chunk, n_rays)
+            chunk_rays = Rays(rays.origins[s:e], rays.directions[s:e])
+            color = np.asarray(render_fn(chunk_rays.origins,
+                                         chunk_rays.directions))
+            inter = jax.jit(
+                functools.partial(ref.trace_dense, settings=settings)
+            )(scene, chunk_rays)
+            positions.append(np.asarray(inter["position"]))
+            normals.append(np.asarray(inter["normal"]))
+            colors.append(color)
+            flags.append(np.asarray(inter["alpha_acc"])
+                         > settings.hit_opacity_threshold)
+            if progress:
+                progress(f"point cloud rays {e}/{n_rays}")
+        num_points = save_point_cloud_ply(
+            os.path.join(out_dir, "points3d.ply"),
+            np.concatenate(positions), np.concatenate(normals),
+            np.clip(np.concatenate(colors), 0.0, 1.0),
+            np.concatenate(flags).astype(np.float32))
+    return dict(train_frames=train_frames, test_frames=test_frames,
+                num_points=num_points, camera_angle_x=fov_x)
+
+
+def capture_panorama(scene, out_dir: str, settings: RenderSettings,
+                     torus: TorusConfig = TorusConfig(),
+                     punctual=None, beta: float = 0.0,
+                     steps: int = 360, accumulation_steps: int = 64,
+                     width: int = 800, height: int = 800,
+                     fov_y_deg: float = 45.0, chunk: int = 65536,
+                     progress: Optional[Callable[[str], None]] = print):
+    """360-degree toroidal sweep at fixed beta (capturePanorama,
+    engine.cpp:2898-3044): one accumulated frame per degree-step, saved as
+    dataset/panorama/pano_i.jpg."""
+    render_fn = make_accumulating_renderer(scene, settings, punctual,
+                                           accumulation_steps)
+    pano_dir = os.path.join(out_dir, "panorama")
+    os.makedirs(pano_dir, exist_ok=True)
+    for i in range(steps):
+        alpha = 360.0 * i / steps
+        c2w = toroidal_c2w(alpha, beta, torus.major_radius, torus.height)
+        img = render_pose(render_fn, c2w, width, height, fov_y_deg, chunk)
+        save_jpg(os.path.join(pano_dir, f"pano_{i}.jpg"),
+                 np.clip(img, 0.0, 1.0))
+        if progress:
+            progress(f"panorama {i + 1}/{steps}")

@@ -1,0 +1,258 @@
+"""Scene assembly: procedural builders + config-driven loading.
+
+TPU-native analog of the reference's scene layer (L3): instead of glTF
+triangle meshes we assemble Gaussian clouds, bake world transforms into the
+Gaussian parameters once at load (like the reference bakes into vertices,
+engine.cpp:1294-1338), and concatenate all objects into one global
+struct-of-arrays scene (the analog of createGlobalBindlessBuffers,
+engine.cpp:1658-1860).
+
+Builders:
+  * :func:`rtbox_scene` — Gaussian Cornell box from the rtbox.json schema
+    (createRTBox, engine.cpp:181-335): 6 axis-aligned panels as grids of flat
+    Gaussians, with per-panel PBR material and optional emissive intensity.
+  * :func:`debug_cube_scene` — emissive yellow cube (createDebugCube,
+    engine.cpp:81-179).
+  * :func:`random_cloud` — random anisotropic clouds for tests/benchmarks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracer_gaussiansplatting_tpu.core.types import (
+    GaussianScene, PunctualLights, make_punctual_lights, make_scene,
+)
+from pathtracer_gaussiansplatting_tpu.ops.quaternions import rotmat_to_quat, quat_to_rotmat
+
+
+def concat_scenes(scenes: Sequence[GaussianScene]) -> GaussianScene:
+    """Concatenate scenes along the Gaussian axis (global bindless analog).
+
+    SH coefficient counts are padded to the max degree present.
+    """
+    k_max = max(s.sh_coeffs.shape[1] for s in scenes)
+
+    def pad_sh(s):
+        k = s.sh_coeffs.shape[1]
+        if k == k_max:
+            return s.sh_coeffs
+        pad = jnp.zeros((s.num_gaussians, k_max - k, 3), jnp.float32)
+        return jnp.concatenate([s.sh_coeffs, pad], axis=1)
+
+    return GaussianScene(
+        means=jnp.concatenate([s.means for s in scenes]),
+        log_scales=jnp.concatenate([s.log_scales for s in scenes]),
+        quats=jnp.concatenate([s.quats for s in scenes]),
+        opacity_logits=jnp.concatenate([s.opacity_logits for s in scenes]),
+        sh_coeffs=jnp.concatenate([pad_sh(s) for s in scenes]),
+        emission=jnp.concatenate([s.emission for s in scenes]),
+        metallic=jnp.concatenate([s.metallic for s in scenes]),
+        roughness=jnp.concatenate([s.roughness for s in scenes]),
+    )
+
+
+def transform_scene(scene: GaussianScene, position=(0, 0, 0),
+                    scale=(1, 1, 1), rotation_euler_deg=(0, 0, 0)):
+    """Bake a world transform into the Gaussian parameters (engine.cpp:1294).
+
+    Rotation is XYZ euler degrees; scale is per-axis (applied in world axes —
+    anisotropic world scale of a rotated Gaussian is approximated by scaling
+    its principal axes by the scale magnitude along each axis direction).
+    """
+    rx, ry, rz = [np.radians(a) for a in rotation_euler_deg]
+
+    def rot_x(a):
+        return np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)],
+                         [0, np.sin(a), np.cos(a)]])
+
+    def rot_y(a):
+        return np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                         [-np.sin(a), 0, np.cos(a)]])
+
+    def rot_z(a):
+        return np.array([[np.cos(a), -np.sin(a), 0],
+                         [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+
+    r = jnp.asarray(rot_z(rz) @ rot_y(ry) @ rot_x(rx), jnp.float32)
+    s = jnp.asarray(scale, jnp.float32)
+    pos = jnp.asarray(position, jnp.float32)
+
+    means = (scene.means * s) @ r.T + pos
+    # Rotate each Gaussian's frame; scale its axes by |scale| along each of
+    # its (rotated) principal directions.
+    frames = quat_to_rotmat(scene.quats)               # (N,3,3) columns=axes
+    new_frames = r @ frames
+    axis_scale = jnp.sqrt(jnp.sum((s[None, :, None] * frames) ** 2, axis=1))
+    new_log_scales = scene.log_scales + jnp.log(jnp.maximum(axis_scale, 1e-12))
+    new_quats = rotmat_to_quat(new_frames)
+    return scene.replace(means=means, log_scales=new_log_scales,
+                         quats=new_quats)
+
+
+def _panel(center, tangent_u, tangent_v, color, metallic, roughness,
+           emissive_intensity, res: int, thickness: float = 0.01):
+    """A rectangular wall as a res x res grid of flat Gaussians."""
+    center = np.asarray(center, np.float64)
+    tu = np.asarray(tangent_u, np.float64)
+    tv = np.asarray(tangent_v, np.float64)
+    n = np.cross(tu, tv)
+    n /= np.linalg.norm(n)
+    us = (np.arange(res) + 0.5) / res - 0.5
+    uu, vv = np.meshgrid(us, us)
+    means = (center[None]
+             + uu.reshape(-1, 1) * 2 * tu[None]
+             + vv.reshape(-1, 1) * 2 * tv[None])
+    m = res * res
+    # Each surfel spans its grid cell (slight overlap factor 0.8).
+    su = np.linalg.norm(tu) * 2 / res * 0.8
+    sv = np.linalg.norm(tv) * 2 / res * 0.8
+    log_scales = np.tile(np.log([su, sv, thickness]), (m, 1))
+    frame = np.stack([tu / np.linalg.norm(tu), tv / np.linalg.norm(tv), n], -1)
+    quat = np.asarray(rotmat_to_quat(jnp.asarray(frame, jnp.float32)))
+    quats = np.tile(quat, (m, 1))
+    emission = np.tile(np.asarray(color, np.float64) * emissive_intensity,
+                       (m, 1))
+    return make_scene(
+        means=means.astype(np.float32),
+        log_scales=log_scales.astype(np.float32),
+        quats=quats.astype(np.float32),
+        opacity_logits=np.full((m,), 9.0, np.float32),
+        colors=np.tile(np.asarray(color, np.float32), (m, 1)),
+        emission=emission.astype(np.float32),
+        metallic=np.full((m,), metallic, np.float32),
+        roughness=np.full((m,), roughness, np.float32),
+    )
+
+
+_PANEL_GEOMS = {
+    # name: (center offset in half-dims, tangent_u axis, tangent_v axis)
+    "floor": ((0, -1, 0), (1, 0, 0), (0, 0, 1)),
+    "ceiling": ((0, 1, 0), (1, 0, 0), (0, 0, -1)),
+    "back_wall": ((0, 0, -1), (1, 0, 0), (0, 1, 0)),
+    "left_wall": ((-1, 0, 0), (0, 0, 1), (0, 1, 0)),
+    "right_wall": ((1, 0, 0), (0, 0, -1), (0, 1, 0)),
+    "front_wall": ((0, 0, 1), (-1, 0, 0), (0, 1, 0)),
+}
+
+
+def rtbox_scene(rtbox: dict, res: int = 24) -> GaussianScene:
+    """Cornell-box from a parsed rtbox.json dict (utils.config.load_rtbox_config).
+
+    Panels are emissive when light.intensity > 0, registered automatically
+    for NEE via their emission channel (the reference registers emissive
+    triangles, engine.cpp:181-335).
+    """
+    pos = np.asarray(rtbox["position"], np.float64)
+    half = np.asarray(rtbox["dimensions"], np.float64) / 2.0
+    parts = []
+    for name, mat in rtbox["panels"].items():
+        if name not in _PANEL_GEOMS:
+            continue
+        off, tu_axis, tv_axis = _PANEL_GEOMS[name]
+        center = pos + np.asarray(off) * half
+        # Half-extent of the panel along each tangent axis direction.
+        tu = np.asarray(tu_axis, np.float64) * (half @ np.abs(tu_axis))
+        tv = np.asarray(tv_axis, np.float64) * (half @ np.abs(tv_axis))
+        # emissive radiance per surfel = intensity normalized by panel area
+        area = 4.0 * np.linalg.norm(tu) * np.linalg.norm(tv)
+        inten = mat["light_intensity"] / max(area, 1e-6)
+        parts.append(_panel(center, tu, tv, mat["base_color"],
+                            mat["metallic"], mat["roughness"], inten, res))
+    return concat_scenes(parts)
+
+
+def debug_cube_scene(center=(0.0, 0.0, 0.0), size: float = 1.0,
+                     res: int = 8) -> GaussianScene:
+    """Emissive yellow cube (createDebugCube, engine.cpp:81-179)."""
+    half = size / 2.0
+    parts = []
+    for name, (off, tu_axis, tv_axis) in _PANEL_GEOMS.items():
+        c = np.asarray(center) + np.asarray(off) * half
+        tu = np.asarray(tu_axis, np.float64) * half
+        tv = np.asarray(tv_axis, np.float64) * half
+        parts.append(_panel(c, tu, tv, (1.0, 1.0, 0.0), 0.0, 1.0,
+                            2.0, res, thickness=0.005 * size))
+    return concat_scenes(parts)
+
+
+def random_cloud(n: int, seed: int = 13, spread: float = 1.0,
+                 sh_degree: int = 0, emissive_frac: float = 0.0,
+                 scale_range=(-3.0, -1.5)) -> GaussianScene:
+    """Random anisotropic Gaussian cloud (tests & benchmarks)."""
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    log_scales = rng.uniform(*scale_range, (n, 3)).astype(np.float32)
+    log_scales += np.log(max(spread, 1e-6))
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    k = (sh_degree + 1) ** 2
+    sh = np.zeros((n, k, 3), np.float32)
+    sh[:, 0] = rng.uniform(-1.0, 1.0, (n, 3))
+    if k > 1:
+        sh[:, 1:] = rng.normal(0, 0.08, (n, k - 1, 3))
+    emission = np.zeros((n, 3), np.float32)
+    if emissive_frac > 0:
+        ne = max(1, int(n * emissive_frac))
+        emission[:ne] = rng.uniform(2.0, 8.0, (ne, 3))
+    return make_scene(
+        means=means, log_scales=log_scales, quats=quats,
+        opacity_logits=rng.uniform(-1, 2, (n,)).astype(np.float32),
+        sh_coeffs=sh, emission=emission,
+        metallic=rng.uniform(0, 1, (n,)).astype(np.float32),
+        roughness=rng.uniform(0.2, 1, (n,)).astype(np.float32),
+    )
+
+
+def load_scene_from_config(cfg, base_dir: str = "."):
+    """Assemble (GaussianScene, PunctualLights|None) from a SceneConfig.
+
+    Object 'model' fields: path to a 3DGS .ply checkpoint, or builtin specs
+    'builtin:random_cloud?n=1000', 'builtin:debug_cube'.
+    """
+    import os
+    import urllib.parse
+
+    from pathtracer_gaussiansplatting_tpu.data.ply import load_3dgs_ply
+    from pathtracer_gaussiansplatting_tpu.utils.config import load_rtbox_config
+
+    parts = []
+    for obj in cfg.objects:
+        model = obj.model
+        if model.startswith("builtin:"):
+            spec = model[len("builtin:"):]
+            name, _, query = spec.partition("?")
+            params = dict(urllib.parse.parse_qsl(query))
+            if name == "random_cloud":
+                s = random_cloud(int(params.get("n", 1000)),
+                                 seed=int(params.get("seed", 13)),
+                                 sh_degree=int(params.get("sh_degree", 0)),
+                                 emissive_frac=float(params.get("emissive_frac", 0)))
+            elif name == "debug_cube":
+                s = debug_cube_scene(size=float(params.get("size", 1.0)))
+            else:
+                raise ValueError(f"unknown builtin scene '{name}'")
+        else:
+            path = model if os.path.isabs(model) else os.path.join(base_dir, model)
+            s = load_3dgs_ply(path)
+        s = transform_scene(s, obj.position, obj.scale, obj.rotation)
+        parts.append(s)
+    if cfg.use_rt_box and cfg.rt_box_file:
+        path = cfg.rt_box_file if os.path.isabs(cfg.rt_box_file) \
+            else os.path.join(base_dir, cfg.rt_box_file)
+        parts.append(rtbox_scene(load_rtbox_config(path)))
+    if not parts:
+        raise ValueError("scene config contains no objects")
+    scene = concat_scenes(parts)
+
+    punctual = None
+    if cfg.sun is not None:
+        punctual = make_punctual_lights(
+            direction=[list(cfg.sun.direction)],
+            color=[list(cfg.sun.color)],
+            intensity=[cfg.sun.intensity], light_type=[1], num=1)
+    return scene, punctual
