@@ -1,0 +1,135 @@
+"""Distributed tests on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_gaussiansplatting_tpu.core.camera import Camera, generate_rays, look_at
+from pathtracer_gaussiansplatting_tpu.core.types import Rays, RenderSettings
+from pathtracer_gaussiansplatting_tpu.models.scene import random_cloud
+from pathtracer_gaussiansplatting_tpu.parallel import mesh as mesh_mod
+from pathtracer_gaussiansplatting_tpu.parallel import train as train_mod
+from pathtracer_gaussiansplatting_tpu.parallel.shard import (
+    render_dense_ray_sharded, ring_topk_radiance,
+)
+from pathtracer_gaussiansplatting_tpu.render.reference import render_radiance_dense
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = random_cloud(96, seed=13, spread=1.0)
+    cam = Camera(c2w=look_at((0, 0.5, 4.0), (0, 0, 0)), fov_y_deg=50.0,
+                 width=32, height=16)
+    rays = generate_rays(cam)
+    settings = RenderSettings(max_contribs=32, background=(0.1, 0.2, 0.3))
+    oracle = np.asarray(render_radiance_dense(scene, rays, settings))
+    return scene, rays, settings, oracle
+
+
+class TestRaySharded:
+    def test_matches_single_device(self, setup):
+        scene, rays, settings, oracle = setup
+        mesh = mesh_mod.make_mesh((8, 1))
+        out = render_dense_ray_sharded(scene, rays, settings, mesh)
+        np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-4)
+
+    def test_output_sharding(self, setup):
+        scene, rays, settings, _ = setup
+        mesh = mesh_mod.make_mesh((8, 1))
+        out = render_dense_ray_sharded(scene, rays, settings, mesh)
+        assert len(out.sharding.device_set) == 8
+
+
+class TestRingTopK:
+    @pytest.mark.parametrize("shape", [(4, 2), (2, 4), (1, 8)])
+    def test_matches_dense(self, setup, shape):
+        scene, rays, settings, oracle = setup
+        mesh = mesh_mod.make_mesh(shape)
+        padded = mesh_mod.pad_to_multiple(scene, shape[1])
+        sharded = mesh_mod.shard_scene(padded, mesh)
+        out = ring_topk_radiance(sharded, rays, settings, mesh)
+        np.testing.assert_allclose(np.asarray(out), oracle, atol=3e-4)
+
+    def test_grads_match_dense(self, setup):
+        scene, rays, settings, _ = setup
+        mesh = mesh_mod.make_mesh((4, 2))
+        padded = mesh_mod.pad_to_multiple(scene, 2)
+        sharded = mesh_mod.shard_scene(padded, mesh)
+
+        def loss_ring(means):
+            out = ring_topk_radiance(sharded.replace(means=means), rays,
+                                     settings, mesh)
+            return jnp.mean(out**2)
+
+        def loss_dense(means):
+            out = render_radiance_dense(padded.replace(means=means), rays,
+                                        settings)
+            return jnp.mean(out**2)
+
+        g_ring = np.asarray(jax.grad(loss_ring)(sharded.means))
+        g_dense = np.asarray(jax.grad(loss_dense)(padded.means))
+        n = scene.num_gaussians
+        np.testing.assert_allclose(g_ring[:n], g_dense[:n],
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_padding_is_inert(self, setup):
+        scene, rays, settings, oracle = setup
+        padded = mesh_mod.pad_to_multiple(scene, 8)
+        out = np.asarray(render_radiance_dense(padded, rays, settings))
+        np.testing.assert_allclose(out, oracle, atol=1e-5)
+
+
+class TestTrainStep:
+    def test_loss_decreases_dp(self, setup):
+        scene, rays, settings, _ = setup
+        mesh = mesh_mod.make_mesh((8, 1))
+        target = jnp.zeros((rays.num_rays, 3))
+        fitted, losses = train_mod.fit_scene(scene, rays, target, settings,
+                                             steps=10, lr=5e-2, mesh=mesh)
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_replicated_grads_equal_single_device(self, setup):
+        scene, rays, settings, _ = setup
+        mesh = mesh_mod.make_mesh((8, 1))
+        target = jnp.full((rays.num_rays, 3), 0.25)
+
+        def loss(scene, rays_o, rays_d, target):
+            img = render_radiance_dense(scene, Rays(rays_o, rays_d), settings)
+            return jnp.mean((img - target) ** 2)
+
+        g_single = jax.grad(loss)(scene, rays.origins, rays.directions,
+                                  target)
+        sharded_o = jax.device_put(rays.origins, mesh_mod.ray_sharding(mesh))
+        sharded_d = jax.device_put(rays.directions,
+                                   mesh_mod.ray_sharding(mesh))
+        scene_rep = mesh_mod.replicate_scene(scene, mesh)
+        g_dp = jax.jit(jax.grad(loss))(scene_rep, sharded_o, sharded_d,
+                                       jax.device_put(
+                                           target,
+                                           mesh_mod.ray_sharding(mesh)))
+        np.testing.assert_allclose(np.asarray(g_dp.means),
+                                   np.asarray(g_single.means),
+                                   rtol=1e-3, atol=1e-6)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert np.isfinite(np.asarray(out)).all()
+        assert out.shape == (128 * 128, 3)
+
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
