@@ -1,0 +1,184 @@
+"""Command-line entry points (the reference's main.cpp + hotkey actions).
+
+Subcommands:
+  render            one converged frame from a scene config -> PNG
+                    (the interactive view, engine.cpp:run, headless)
+  capture-dataset   full dataset capture: images + transforms + point cloud
+                    (the V hotkey -> captureSceneData, engine.cpp:2658)
+  panorama          360-degree toroidal sweep (G hotkey, engine.cpp:2898)
+  fit               optimize a Gaussian scene against a rendered target
+                    (the downstream 3DGS training the reference feeds)
+  bench             run the benchmark harness
+
+Usage:
+  python -m pathtracer_gaussiansplatting_tpu.cli render --scene main_scene.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load(args):
+    import jax.numpy as jnp
+
+    from pathtracer_gaussiansplatting_tpu.core.types import RenderSettings
+    from pathtracer_gaussiansplatting_tpu.models.scene import load_scene_from_config
+    from pathtracer_gaussiansplatting_tpu.utils.config import load_scene_config
+
+    cfg = load_scene_config(args.scene)
+    base = os.path.dirname(os.path.abspath(args.scene))
+    scene, punctual = load_scene_from_config(cfg, base)
+    settings = RenderSettings(
+        max_depth=args.max_depth or cfg.max_depth,
+        ambient=tuple(cfg.ambient_light),
+        max_contribs=args.max_contribs,
+    )
+    return cfg, scene, punctual, settings
+
+
+def cmd_render(args):
+    import jax
+    import numpy as np
+
+    from pathtracer_gaussiansplatting_tpu.core.camera import Camera, toroidal_c2w
+    from pathtracer_gaussiansplatting_tpu.data.capture import (
+        make_accumulating_renderer, render_pose,
+    )
+    from pathtracer_gaussiansplatting_tpu.data.images import save_png
+
+    cfg, scene, punctual, settings = _load(args)
+    render_fn = make_accumulating_renderer(scene, settings, punctual,
+                                           spp=args.spp)
+    c2w = toroidal_c2w(args.alpha, args.beta, cfg.torus.major_radius,
+                       cfg.torus.height)
+    img = render_pose(render_fn, c2w, args.width or cfg.width,
+                      args.height or cfg.height, cfg.fov_y_deg,
+                      chunk=args.chunk)
+    save_png(args.output, np.clip(img, 0.0, 1.0))
+    print(f"wrote {args.output} ({img.shape[1]}x{img.shape[0]}, "
+          f"{args.spp} spp)")
+
+
+def cmd_capture(args):
+    from pathtracer_gaussiansplatting_tpu.data.capture import capture_scene_data
+
+    cfg, scene, punctual, settings = _load(args)
+    cap = cfg.capture
+    out = capture_scene_data(
+        scene, args.output, settings, torus=cfg.torus, punctual=punctual,
+        accumulation_steps=args.spp or cap.accumulation_steps,
+        total_positions=args.positions or cap.total_positions,
+        min_beta=cap.min_beta, max_beta=cap.max_beta,
+        image_divisor=cap.image_divisor,
+        width=args.width or cfg.width, height=args.height or cfg.height,
+        fov_y_deg=cfg.fov_y_deg,
+        capture_images=cap.capture_images,
+        capture_pointcloud=cap.capture_pointcloud,
+        sampling_method=cfg.sampling_method,
+        num_rays=args.num_rays, chunk=args.chunk)
+    print(json.dumps(dict(points=out["num_points"],
+                          train=len(out["train_frames"]),
+                          test=len(out["test_frames"]))))
+
+
+def cmd_panorama(args):
+    from pathtracer_gaussiansplatting_tpu.data.capture import capture_panorama
+
+    cfg, scene, punctual, settings = _load(args)
+    capture_panorama(scene, args.output, settings, torus=cfg.torus,
+                     punctual=punctual, beta=args.beta, steps=args.steps,
+                     accumulation_steps=args.spp,
+                     width=args.width or cfg.width,
+                     height=args.height or cfg.height,
+                     fov_y_deg=cfg.fov_y_deg, chunk=args.chunk)
+
+
+def cmd_fit(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracer_gaussiansplatting_tpu.core.camera import (
+        Camera, generate_rays, look_at,
+    )
+    from pathtracer_gaussiansplatting_tpu.data.ply import save_3dgs_ply
+    from pathtracer_gaussiansplatting_tpu.models.scene import random_cloud
+    from pathtracer_gaussiansplatting_tpu.parallel.train import fit_scene
+
+    cfg, scene, punctual, settings = _load(args)
+    cam = Camera(c2w=look_at((0, 0.5, 4.0), (0, 0, 0)), fov_y_deg=cfg.fov_y_deg,
+                 width=args.width or 64, height=args.height or 64)
+    rays = generate_rays(cam)
+    from pathtracer_gaussiansplatting_tpu.render.reference import (
+        render_radiance_dense,
+    )
+
+    target = render_radiance_dense(scene, rays, settings)
+    init = random_cloud(args.init_gaussians, seed=7,
+                        spread=float(np.abs(np.asarray(scene.means)).max()))
+    fitted, losses = fit_scene(init, rays, target, settings,
+                               steps=args.steps, lr=args.lr)
+    print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f} over {args.steps} steps")
+    if args.output:
+        save_3dgs_ply(args.output, fitted)
+        print(f"wrote {args.output}")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pathtracer_gaussiansplatting_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, output_default):
+        sp.add_argument("--scene", required=True, help="scene config JSON")
+        sp.add_argument("--output", default=output_default)
+        sp.add_argument("--spp", type=int, default=32)
+        sp.add_argument("--width", type=int, default=0)
+        sp.add_argument("--height", type=int, default=0)
+        sp.add_argument("--max-depth", type=int, default=0)
+        sp.add_argument("--max-contribs", type=int, default=64)
+        sp.add_argument("--chunk", type=int, default=65536)
+
+    sp = sub.add_parser("render", help="render one frame")
+    common(sp, "render.png")
+    sp.add_argument("--alpha", type=float, default=0.0)
+    sp.add_argument("--beta", type=float, default=15.0)
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("capture-dataset", help="full dataset capture")
+    common(sp, "dataset")
+    sp.add_argument("--positions", type=int, default=0)
+    sp.add_argument("--num-rays", type=int, default=None)
+    sp.set_defaults(fn=cmd_capture)
+
+    sp = sub.add_parser("panorama", help="360-degree sweep")
+    common(sp, "dataset")
+    sp.add_argument("--beta", type=float, default=0.0)
+    sp.add_argument("--steps", type=int, default=360)
+    sp.set_defaults(fn=cmd_panorama)
+
+    sp = sub.add_parser("fit", help="fit a scene to rendered targets")
+    common(sp, "fitted.ply")
+    sp.add_argument("--steps", type=int, default=200)
+    sp.add_argument("--lr", type=float, default=5e-3)
+    sp.add_argument("--init-gaussians", type=int, default=500)
+    sp.set_defaults(fn=cmd_fit)
+
+    sp = sub.add_parser("bench", help="benchmark harness")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

@@ -101,16 +101,26 @@ def capture_scene_data(scene, out_dir: str,
                        sampling_method: str = "uniform",
                        num_rays: Optional[int] = None,
                        chunk: int = 65536,
+                       resume: bool = True,
                        progress: Optional[Callable[[str], None]] = print):
     """Full dataset capture (images + transforms + point cloud).
 
+    With ``resume`` (default), completed poses recorded in
+    ``<out_dir>/.progress.json`` are skipped after a restart — the capture
+    pose stream is a pure function of the seed, so skipping preserves
+    determinism (checkpoint/resume the reference lacks, SURVEY.md §5).
+
     Returns dict with 'train_frames', 'test_frames', 'num_points'.
     """
+    from pathtracer_gaussiansplatting_tpu.utils.checkpoint import CaptureProgress
+
     cap_rng = np.random.RandomState(CAPTURE_SEED)
     render_fn = make_accumulating_renderer(scene, settings, punctual,
                                            accumulation_steps)
     train_frames, test_frames = [], []
     os.makedirs(os.path.join(out_dir, "train"), exist_ok=True)
+    journal = CaptureProgress(os.path.join(out_dir, ".progress.json")) \
+        if resume else None
 
     fov_x = None
     if capture_images:
@@ -118,11 +128,16 @@ def capture_scene_data(scene, out_dir: str,
             alpha = cap_rng.uniform(0.0, 360.0)
             beta = cap_rng.uniform(min_beta, max_beta)
             c2w = toroidal_c2w(alpha, beta, torus.major_radius, torus.height)
-            img = render_pose(render_fn, c2w, width, height, fov_y_deg, chunk)
-            img = box_downscale(img, image_divisor)
             rel = f"./train/r_{i}"
-            save_jpg(os.path.join(out_dir, "train", f"r_{i}.jpg"),
-                     np.clip(img, 0.0, 1.0))
+            img_path = os.path.join(out_dir, "train", f"r_{i}.jpg")
+            if not (journal and journal.is_done(i)
+                    and os.path.exists(img_path)):
+                img = render_pose(render_fn, c2w, width, height, fov_y_deg,
+                                  chunk)
+                img = box_downscale(img, image_divisor)
+                save_jpg(img_path, np.clip(img, 0.0, 1.0))
+                if journal:
+                    journal.mark(i)
             frame = dict(file_path=rel, transform_matrix=np.asarray(c2w))
             # every 4th frame to the test split (engine.cpp:2763-2764)
             (test_frames if i % 4 == 0 else train_frames).append(frame)

@@ -32,7 +32,7 @@ def save_point_cloud_ply(path, positions, normals, colors, flags=None):
     if flags is not None:
         keep = np.asarray(flags) > 0.0
         positions, normals, colors = positions[keep], normals[keep], colors[keep]
-    rgb = (np.clip(colors, 0.0, 1.0) * 255.0).astype(np.int32)
+    rgb = (np.clip(colors, 0.0, 1.0) * 255.0).astype(np.uint8)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     buf = io.StringIO()
     buf.write("ply\n")
@@ -43,12 +43,13 @@ def save_point_cloud_ply(path, positions, normals, colors, flags=None):
     for c in ("red", "green", "blue"):
         buf.write(f"property uchar {c}\n")
     buf.write("end_header\n")
-    for p, n, c in zip(positions, normals, rgb):
-        buf.write(f"{p[0]:g} {p[1]:g} {p[2]:g} "
-                  f"{n[0]:g} {n[1]:g} {n[2]:g} "
-                  f"{c[0]} {c[1]} {c[2]}\n")
+    from pathtracer_gaussiansplatting_tpu.csrc.build import format_ply_rows
+
+    body = format_ply_rows(np.asarray(positions, np.float32),
+                           np.asarray(normals, np.float32), rgb)
     with open(path, "w") as f:
         f.write(buf.getvalue())
+        f.write(body)
     return len(positions)
 
 

@@ -1,0 +1,224 @@
+"""Pallas TPU kernel: fused per-tile ray-Gaussian compositing.
+
+This is the hot forward kernel (the role of raygen_camera.rgen +
+closesthit.rchit's hit loop on the GPU). The math is restructured so the MXU
+does the heavy lifting — for a tile with P pixels and K depth-sorted
+Gaussians:
+
+    q_pk(t) = a_pk t^2 + 2 b_pk t + c_k          (ray-Gaussian quadratic)
+    a_pk = d_p^T Q_k d_p   = [d^2 terms](P,6) @ Q6(6,K)      <- MXU
+    b_pk = d_p^T Q_k(o-mu) = D(P,3) @ Wb(3,K)                 <- MXU
+    c_k  = (o-mu)^T Q_k (o-mu)                   (precomputed per Gaussian)
+
+with Q_k = M_k^T M_k the world-space inverse covariance. Then
+alpha = opacity * exp(-q(t*)/2) with cutoffs, transmittance by exclusive
+cumsum of log1p(-alpha) along K, and the feature composite
+out(P,F) = W(P,K) @ feats(K,F) is a third MXU matmul.
+
+The packet layout is built once per frame by :func:`build_tile_packets` from
+the binning tables (ops/binning.py) — a pure gather, done by XLA.
+
+The public entry :func:`tile_composite` carries a custom VJP whose backward
+recomputes through the pure-JAX reference (kernels are allclose-tested
+against render/tiled.tile_composite_reference semantics in interpret mode).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtracer_gaussiansplatting_tpu.core.types import GaussianScene, RenderSettings
+from pathtracer_gaussiansplatting_tpu.ops import gaussians as gops
+
+
+def build_tile_packets(scene: GaussianScene, feats_all, origin, tile_idx,
+                       tile_mask):
+    """Gather per-tile Gaussian packets for the kernel.
+
+    Args:
+      scene: the full scene; feats_all: (N, F) per-Gaussian features
+        (render/tiled._packet_features); origin: (3,) camera position;
+      tile_idx/tile_mask: (T, K) binning tables.
+
+    Returns dict of arrays:
+      q6:   (T, 6, K) upper-triangular Q entries [xx,yy,zz,xy,xz,yz scaled].
+      wb:   (T, 3, K) Q(o-mu).
+      c:    (T, K) (o-mu)^T Q (o-mu).
+      opac: (T, K) opacity (0 where masked).
+      feats:(T, K, F).
+    """
+    m = gops.canonical_transforms(scene.log_scales, scene.quats)   # (N,3,3)
+    q = jnp.einsum("nij,nik->njk", m, m)                           # M^T M
+    og = origin[None, :] - scene.means                             # (N,3)
+    wb_all = jnp.einsum("njk,nk->nj", q, og)                       # (N,3)
+    c_all = jnp.einsum("nj,nj->n", wb_all, og)                     # (N,)
+    q6_all = jnp.stack([
+        q[:, 0, 0], q[:, 1, 1], q[:, 2, 2],
+        2.0 * q[:, 0, 1], 2.0 * q[:, 0, 2], 2.0 * q[:, 1, 2],
+    ], axis=-1)                                                    # (N,6)
+
+    # ONE row-major table + one gather (vs five separate gathers — the
+    # gather pass is a measurable fraction of frame time at 1M Gaussians).
+    f = feats_all.shape[-1]
+    table = jnp.concatenate([
+        q6_all, wb_all, c_all[:, None], scene.opacities[:, None], feats_all,
+    ], axis=-1)                                   # (N, 11+F)
+    rows = table[tile_idx]                        # (T, K, 11+F)
+    opac = jnp.where(tile_mask, rows[..., 10], 0.0)
+    return dict(
+        q6=jnp.swapaxes(rows[..., 0:6], 1, 2),     # (T,6,K)
+        wb=jnp.swapaxes(rows[..., 6:9], 1, 2),     # (T,3,K)
+        c=rows[..., 9],                            # (T,K)
+        opac=opac,                                 # (T,K)
+        feats=rows[..., 11:11 + f],                # (T,K,F)
+    )
+
+
+def _dir_basis(dirs):
+    """(T, P, 3) -> (T, P, 6) quadratic monomials [dx2,dy2,dz2,dxdy,dxdz,dydz]."""
+    dx, dy, dz = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    return jnp.stack([dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz],
+                     axis=-1)
+
+
+def _cumsum_last(x):
+    """Inclusive cumsum along the last axis via Hillis-Steele doubling.
+
+    Mosaic has no cumsum primitive; log2(K) masked roll-adds are pure
+    VPU work and lower cleanly (and XLA fuses them on the reference path,
+    keeping both paths numerically identical).
+    """
+    k = x.shape[-1]
+    zeros = jnp.zeros_like(x)
+    shift = 1
+    while shift < k:
+        shifted = jnp.concatenate(
+            [zeros[..., :shift], x[..., :-shift]], axis=-1)
+        x = x + shifted
+        shift *= 2
+    return x
+
+
+def _composite_math(dq, d3, q6, wb, c, opac, feats, settings: RenderSettings):
+    """Shared per-tile math (traced both by XLA reference and Pallas kernel).
+
+    dq: (P, 6), d3: (P, 3), q6: (6, K), wb: (3, K), c: (K,), opac: (K,),
+    feats: (K, F). Returns (out (P, F), alpha_acc (P,), depth (P,)).
+    """
+    # precision=HIGHEST: the Mosaic MXU truncates f32 operands to bf16 by
+    # default, which is catastrophic inside exp(quadratic); bf16x3 passes
+    # restore ~f32 accuracy at modest cost.
+    hi = jax.lax.Precision.HIGHEST
+    a = jnp.maximum(jnp.dot(dq, q6, preferred_element_type=jnp.float32,
+                            precision=hi), 1e-12)             # (P,K)
+    b = jnp.dot(d3, wb, preferred_element_type=jnp.float32,
+                precision=hi)                                 # (P,K)
+    t = jnp.clip(-b / a, settings.t_min, settings.t_max)
+    qv = a * t * t + 2.0 * b * t + c[None, :]
+    gval = jnp.exp(-0.5 * jnp.maximum(qv, 0.0))
+    alpha = opac[None, :] * gval
+    cut = jnp.exp(-0.5 * settings.sigma_cut * settings.sigma_cut)
+    alpha = jnp.where(gval < cut, 0.0, alpha)
+    alpha = jnp.where(alpha < settings.alpha_min, 0.0,
+                      jnp.minimum(alpha, settings.alpha_max))
+    # Exclusive transmittance via cumsum in log space (alpha <= 0.999
+    # keeps log1p finite).
+    log_om = jnp.log1p(-alpha)
+    cum = _cumsum_last(log_om)
+    trans_incl = jnp.exp(cum)
+    # exclusive transmittance: T_excl = T_incl / (1 - alpha)
+    trans_excl = jnp.exp(cum - log_om)
+    w = trans_excl * alpha                                    # (P,K)
+    out = jnp.dot(w, feats, preferred_element_type=jnp.float32,
+                  precision=hi)
+    k = alpha.shape[-1]
+    # static lax.slice: integer indexing would lower to dynamic_slice,
+    # which Mosaic rejects
+    last = jax.lax.slice(trans_incl, (0, k - 1), (trans_incl.shape[0], k))
+    alpha_acc = 1.0 - last[:, 0]
+    depth = jnp.sum(w * t, axis=-1) / jnp.maximum(alpha_acc, 1e-8)
+    return out, alpha_acc, depth
+
+
+def _kernel(dq_ref, d3_ref, q6_ref, wb_ref, c_ref, opac_ref, feats_ref,
+            out_ref, acc_ref, depth_ref, *, settings):
+    out, acc, depth = _composite_math(
+        dq_ref[0], d3_ref[0], q6_ref[0], wb_ref[0], c_ref[0, 0],
+        opac_ref[0, 0], feats_ref[0], settings)
+    out_ref[0] = out
+    acc_ref[0] = acc[:, None]
+    depth_ref[0] = depth[:, None]
+
+
+def _tile_composite_pallas(packets, dirs, settings: RenderSettings,
+                           interpret: bool = False):
+    t_total, k = packets["c"].shape
+    p = dirs.shape[1]
+    f = packets["feats"].shape[-1]
+    dq = _dir_basis(dirs)                                     # (T,P,6)
+
+    def spec(block):
+        # Mosaic needs each block's trailing dims to tile the array (or equal
+        # it); per-tile (T,K) scalars ride as (T,1,K), per-pixel outputs as
+        # (T,P,1).
+        return pl.BlockSpec((1,) + block, lambda i: (i,) + (0,) * len(block),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, settings=settings)
+    out, acc, depth = pl.pallas_call(
+        kernel,
+        grid=(t_total,),
+        in_specs=[spec((p, 6)), spec((p, 3)), spec((6, k)), spec((3, k)),
+                  spec((1, k)), spec((1, k)), spec((k, f))],
+        out_specs=[spec((p, f)), spec((p, 1)), spec((p, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, p, f), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, p, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dq, dirs, packets["q6"], packets["wb"], packets["c"][:, None, :],
+      packets["opac"][:, None, :], packets["feats"])
+    return out, acc[..., 0], depth[..., 0]
+
+
+def _tile_composite_xla(packets, dirs, settings: RenderSettings):
+    """Reference semantics as vmapped XLA (ground truth for the kernel,
+    and the recompute path for the backward)."""
+    dq = _dir_basis(dirs)
+    fn = functools.partial(_composite_math, settings=settings)
+    return jax.vmap(fn)(dq, dirs, packets["q6"], packets["wb"],
+                        packets["c"], packets["opac"], packets["feats"])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def tile_composite(packets, dirs, settings: RenderSettings,
+                   interpret: bool = False):
+    """Fused tile compositing: Pallas forward, recompute-XLA backward.
+
+    Args:
+      packets: dict from :func:`build_tile_packets` (T-leading arrays).
+      dirs: (T, P, 3) per-tile pixel ray directions.
+    Returns (out (T,P,F), alpha_acc (T,P), depth (T,P)).
+    """
+    return _tile_composite_pallas(packets, dirs, settings, interpret)
+
+
+def _tc_fwd(packets, dirs, settings, interpret):
+    return _tile_composite_pallas(packets, dirs, settings, interpret), \
+        (packets, dirs)
+
+
+def _tc_bwd(settings, interpret, res, cot):
+    packets, dirs = res
+    _, vjp = jax.vjp(
+        lambda p, d: _tile_composite_xla(p, d, settings), packets, dirs)
+    return vjp(cot)
+
+
+tile_composite.defvjp(_tc_fwd, _tc_bwd)

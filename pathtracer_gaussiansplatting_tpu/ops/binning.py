@@ -40,6 +40,8 @@ class BinningConfig:
     sigma_extent: float = 3.0         # stamp tiles within k sigma
     near: float = 0.05                # cull behind this view depth
     radius_clamp_px: float = 512.0    # cap projected radius (huge splats)
+    max_pairs: int = 4_194_304        # compacted (tile,gaussian) pair budget;
+    # pairs beyond this are dropped (raise for scenes with extreme overlap)
 
 
 def project_gaussians(scene: GaussianScene, camera: Camera,
@@ -137,26 +139,60 @@ def bin_gaussians(proj, tiles_x: int, tiles_y: int, config: BinningConfig):
     count = bw * bh                                       # tiles covered
 
     # m-th covered tile (row-major in the bbox), statically padded to m_cap.
-    m_ids = jnp.arange(m_cap, dtype=jnp.int32)[None, :]   # (1, M)
-    mx = m_ids % jnp.maximum(bw, 1)[:, None]
-    my = m_ids // jnp.maximum(bw, 1)[:, None]
-    pair_tile = (ty0[:, None] + my) * tiles_x + (tx0[:, None] + mx)
-    pair_ok = valid[:, None] & (m_ids < count[:, None]) & (my < bh[:, None])
+    # Layout note: expansion arrays are (M, N) — minor dim N — so every
+    # elementwise op runs at full lane width. The transposed (N, M=16) layout
+    # wastes 7/8 of each TPU register tile and measured ~5x slower.
+    m_ids = jnp.arange(m_cap, dtype=jnp.int32)[:, None]   # (M, 1)
+    mx = m_ids % jnp.maximum(bw, 1)[None, :]
+    my = m_ids // jnp.maximum(bw, 1)[None, :]
+    pair_tile = (ty0[None, :] + my) * tiles_x + (tx0[None, :] + mx)
+    pair_ok = valid[None, :] & (m_ids < count[None, :]) & (my < bh[None, :])
     pair_tile = jnp.where(pair_ok, pair_tile, t_total)    # sentinel bucket
-    pair_gauss = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
-                                  (n, m_cap))
+    pair_gauss = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                                  (m_cap, n))
 
-    flat_tile = pair_tile.reshape(-1)
-    flat_gauss = pair_gauss.reshape(-1)
-    flat_depth = jnp.broadcast_to(depth[:, None], (n, m_cap)).reshape(-1)
+    # ONE sort over a packed (tile, quantized-depth) int32 key instead of two
+    # stable argsorts, over a COMPACTED pair buffer instead of the full
+    # n*m_cap expansion — at 1M Gaussians only a few % of expansion slots are
+    # real, and the sort dominates frame time. Depth gets all bits left over
+    # after the tile id; quantization collisions only shuffle order among
+    # nearly-equal depths (harmless for 'over').
+    import math
 
-    # Stable two-pass sort == sort by (tile, depth) lexicographically.
-    order_d = jnp.argsort(flat_depth, stable=True)
-    tile_by_d = flat_tile[order_d]
-    order_t = jnp.argsort(tile_by_d, stable=True)
-    perm = order_d[order_t]
-    sorted_tile = tile_by_d[order_t]                      # (P,)
-    sorted_gauss = flat_gauss[perm]
+    tile_bits = max(1, math.ceil(math.log2(t_total + 2)))
+    depth_bits = 30 - tile_bits
+    d_lo = jnp.min(jnp.where(valid, depth, jnp.inf))
+    d_hi = jnp.max(jnp.where(valid, depth, -jnp.inf))
+    d_scale = (2.0**depth_bits - 1.0) / jnp.maximum(d_hi - d_lo, 1e-6)
+    depth_q = jnp.clip((depth - d_lo) * d_scale, 0.0,
+                       2.0**depth_bits - 1.0).astype(jnp.int32)
+    key = pair_tile * jnp.int32(2**depth_bits) + depth_q[None, :]   # (M, N)
+
+    # Compact valid pairs: exclusive prefix sum of per-Gaussian coverage
+    # gives each pair its slot; invalid/overflow pairs scatter-drop.
+    p_max = config.max_pairs
+    n_cover = jnp.where(valid, jnp.minimum(count, m_cap), 0)
+    offsets = jnp.cumsum(n_cover) - n_cover                         # (N,)
+    pos = offsets[None, :] + m_ids                                  # (M, N)
+    pos = jnp.where(pair_ok & (pos < p_max), pos, p_max).reshape(-1)
+    sentinel = jnp.int32((t_total + 1) * 2**depth_bits - 1)
+    # Barrier: keep the expansion computation out of the scatter kernels.
+    pos, key_flat, gauss_flat = jax.lax.optimization_barrier(
+        (pos, key.reshape(-1), pair_gauss.reshape(-1)))
+    # unique_indices: every in-bounds slot is written exactly once (offsets
+    # are disjoint per Gaussian); without the promise XLA pre-sorts all 16M
+    # updates for deterministic collision handling — the hidden cost that
+    # dominated the frame.
+    compact_key = jnp.full((p_max,), sentinel, jnp.int32)
+    compact_key = compact_key.at[pos].set(key_flat, mode="drop",
+                                          unique_indices=True)
+    compact_gauss = jnp.zeros((p_max,), jnp.int32)
+    compact_gauss = compact_gauss.at[pos].set(gauss_flat, mode="drop",
+                                              unique_indices=True)
+    perm = jnp.argsort(compact_key)
+    sorted_key = compact_key[perm]
+    sorted_tile = sorted_key // jnp.int32(2**depth_bits)            # (P,)
+    sorted_gauss = compact_gauss[perm]
 
     # Per-tile runs -> fixed K slots.
     starts = jnp.searchsorted(sorted_tile, jnp.arange(t_total, dtype=jnp.int32))

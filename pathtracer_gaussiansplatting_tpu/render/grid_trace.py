@@ -1,0 +1,262 @@
+"""Uniform-grid ray tracing: scalable secondary rays & shadows.
+
+The reference's secondary rays ride the same hardware BVH as primary rays
+(traceRayEXT from closesthit, max depth 12). On TPU the tile pipeline only
+covers camera-coherent primary rays, so bounce/shadow rays use a world-space
+uniform grid (built once per scene by the native csrc/grid_bin, the BLAS-build
+analog) marched with a branch-free 3D-DDA inside jit:
+
+  * every ray steps cell-by-cell in lockstep (masked, no divergence);
+  * per step, the cell's padded Gaussian list is evaluated with the exact
+    ray-Gaussian math and candidates whose peak lies inside the cell's
+    [t_entry, t_exit) slab are merged into a per-ray top-K (the same
+    streaming-top-K used by the cross-chip ring in parallel/shard.py);
+  * after max_steps the top-K is composited exactly like trace_dense.
+
+Because cells are visited front-to-back and contributions are slab-bucketed,
+the merged top-K reproduces the dense renderer's ordering wherever the cell
+capacity isn't exceeded.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracer_gaussiansplatting_tpu.core import sh as sh_mod
+from pathtracer_gaussiansplatting_tpu.core.types import (
+    GaussianScene, Rays, RenderSettings,
+)
+from pathtracer_gaussiansplatting_tpu.ops import gaussians as gops
+from pathtracer_gaussiansplatting_tpu.ops.composite import composite_weights
+from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GridAccel:
+    """Uniform-grid acceleration structure (pytree; dims static)."""
+
+    cell_indices: jnp.ndarray  # (C, Kc) int32, -1 padded
+    lo: jnp.ndarray            # (3,)
+    hi: jnp.ndarray            # (3,)
+    dims: Tuple[int, int, int] = dataclasses.field(
+        metadata=dict(static=True))
+
+    @property
+    def max_per_cell(self) -> int:
+        return self.cell_indices.shape[1]
+
+
+def build_grid_accel(scene: GaussianScene, dims=(64, 64, 64),
+                     max_per_cell: int = 64,
+                     sigma: float = 3.0) -> GridAccel:
+    """Build the grid on the host (native C++ when available)."""
+    from pathtracer_gaussiansplatting_tpu.csrc.build import grid_bin
+
+    centers = np.asarray(scene.means, np.float32)
+    radii = sigma * np.exp(np.asarray(scene.log_scales)).max(-1)
+    idx, cnt, lo, hi = grid_bin(centers, radii.astype(np.float32), dims,
+                                max_per_cell=max_per_cell)
+    return GridAccel(cell_indices=jnp.asarray(idx), lo=jnp.asarray(lo),
+                     hi=jnp.asarray(hi), dims=tuple(int(d) for d in dims))
+
+
+def _dda_init(origins, dirs, accel: GridAccel, t_min):
+    """Initial DDA state: entry t, cell coords, per-axis t_next/t_delta."""
+    dims = jnp.asarray(accel.dims, jnp.float32)
+    ext = jnp.maximum(accel.hi - accel.lo, 1e-12)
+    cell_size = ext / dims
+
+    inv_d = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12,
+                            jnp.where(dirs >= 0, 1e-12, -1e-12), dirs)
+    # Ray-AABB entry/exit of the whole grid.
+    t0 = (accel.lo[None] - origins) * inv_d
+    t1 = (accel.hi[None] - origins) * inv_d
+    t_near = jnp.max(jnp.minimum(t0, t1), -1)
+    t_far = jnp.min(jnp.maximum(t0, t1), -1)
+    t_entry = jnp.maximum(t_near, t_min)
+    inside = t_far > t_entry
+
+    p_entry = origins + (t_entry[:, None] + 1e-5) * dirs
+    cell = jnp.clip(jnp.floor((p_entry - accel.lo[None]) / cell_size[None]),
+                    0, dims[None] - 1).astype(jnp.int32)
+    step = jnp.where(dirs >= 0, 1, -1).astype(jnp.int32)
+    next_bound = accel.lo[None] + (cell + (step > 0)).astype(jnp.float32) \
+        * cell_size[None]
+    t_next = (next_bound - origins) * inv_d           # (R,3)
+    t_delta = jnp.abs(cell_size[None] * inv_d)        # (R,3)
+    return dict(cell=cell, step=step, t_next=t_next, t_delta=t_delta,
+                t_entry=t_entry, t_far=t_far, alive=inside)
+
+
+def _cell_linear(cell, dims):
+    return (cell[:, 2] * dims[1] + cell[:, 1]) * dims[0] + cell[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "max_steps", "topk"))
+def grid_topk(scene: GaussianScene, accel: GridAccel, rays: Rays,
+              settings: RenderSettings, max_steps: int = 128,
+              topk: int = None):
+    """March rays through the grid; return per-ray top-K contributions.
+
+    Returns (idx (R,K), t (R,K), alpha (R,K)) like dense_topk.
+    """
+    k = topk or settings.max_contribs
+    r = rays.num_rays
+    origins, dirs = rays.origins, rays.directions
+    m_all = gops.canonical_transforms(scene.log_scales, scene.quats)
+    opac = scene.opacities
+    state = _dda_init(origins, dirs, accel, settings.t_min)
+    dims = accel.dims
+
+    init_carry = dict(
+        t=jnp.full((r, k), settings.t_max),
+        alpha=jnp.zeros((r, k)),
+        idx=jnp.zeros((r, k), jnp.int32),
+        cell=state["cell"], t_next=state["t_next"], t_cur=state["t_entry"],
+        alive=state["alive"],
+    )
+    step_dir = state["step"]
+    t_delta = state["t_delta"]
+    t_far = state["t_far"]
+
+    def body(carry, _):
+        cell = carry["cell"]
+        in_bounds = jnp.all((cell >= 0) & (cell < jnp.asarray(dims)), -1)
+        alive = carry["alive"] & in_bounds
+        lin = jnp.clip(_cell_linear(cell, dims), 0,
+                       accel.cell_indices.shape[0] - 1)
+        gids = accel.cell_indices[lin]                       # (R, Kc)
+        valid_g = (gids >= 0) & alive[:, None]
+        gsafe = jnp.maximum(gids, 0)
+
+        # slab for this step: [t_cur, t_exit)
+        t_exit = jnp.min(carry["t_next"], -1)
+        t_peak, gval = gops.peak_response(
+            origins[:, None, :], dirs[:, None, :],
+            scene.means[gsafe], m_all[gsafe],
+            settings.t_min, settings.t_max)
+        a = gops.alpha_from_response(opac[gsafe], gval, settings.alpha_min,
+                                     settings.alpha_max, settings.sigma_cut)
+        # exact half-open slab [t_cur, t_exit): t_cur is the previous step's
+        # t_exit bitwise, so every peak lands in exactly one slab (an epsilon
+        # overlap here double-counts boundary Gaussians)
+        in_slab = (t_peak >= carry["t_cur"][:, None]) \
+            & (t_peak < t_exit[:, None])
+        a = jnp.where(valid_g & in_slab, a, 0.0)
+        t_peak = jnp.where(a > 0, t_peak, settings.t_max)
+
+        # merge into running top-K by depth
+        t_all = jnp.concatenate([carry["t"], t_peak], 1)
+        a_all = jnp.concatenate([carry["alpha"], a], 1)
+        i_all = jnp.concatenate([carry["idx"], gsafe], 1)
+        key = jnp.where(a_all > 0, t_all, jnp.inf)
+        neg, sel = jax.lax.top_k(-key, k)
+        new_t = jnp.take_along_axis(t_all, sel, 1)
+        new_a = jnp.where(jnp.isfinite(-neg),
+                          jnp.take_along_axis(a_all, sel, 1), 0.0)
+        new_i = jnp.take_along_axis(i_all, sel, 1)
+
+        # DDA advance: step the axis with the smallest t_next
+        axis = jnp.argmin(carry["t_next"], -1)
+        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        new_cell = cell + onehot * step_dir
+        new_tnext = carry["t_next"] + onehot.astype(jnp.float32) * t_delta
+        new_alive = alive & (t_exit < t_far)
+        return dict(t=new_t, alpha=new_a, idx=new_i, cell=new_cell,
+                    t_next=new_tnext, t_cur=t_exit, alive=new_alive), None
+
+    carry, _ = jax.lax.scan(body, init_carry, None, length=max_steps)
+    return carry["idx"], carry["t"], carry["alpha"]
+
+
+def trace_grid(scene: GaussianScene, rays: Rays, settings: RenderSettings,
+               accel: GridAccel, max_steps: int = 128):
+    """Aggregate surface interaction via the grid (trace_dense-compatible)."""
+    idx, t, alpha = grid_topk(scene, accel, rays, settings, max_steps)
+    d = rays.directions[:, None, :]
+    x = rays.origins[:, None, :] + t[..., None] * d
+    color = sh_mod.eval_sh(scene.sh_coeffs[idx],
+                           jnp.broadcast_to(d, x.shape), settings.sh_degree)
+    normal = gops.surfel_normal(scene.log_scales[idx], scene.quats[idx],
+                                view_dir=d)
+    weights, trans = composite_weights(alpha)
+    alpha_acc = 1.0 - trans
+
+    def wsum(f):
+        return jnp.einsum("rk,rk...->r...", weights, f)
+
+    denom = jnp.maximum(alpha_acc, 1e-8)[..., None]
+    return dict(
+        radiance_emitted=wsum(scene.emission[idx]),
+        albedo=wsum(color),
+        normal=safe_normalize(wsum(normal)),
+        position=wsum(x) / denom,
+        depth=wsum(t) / denom[..., 0],
+        metallic=wsum(scene.metallic[idx]) / denom[..., 0],
+        roughness=wsum(scene.roughness[idx]) / denom[..., 0],
+        alpha_acc=alpha_acc,
+        trans=trans,
+        hit=alpha_acc > settings.hit_opacity_threshold,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "max_steps"))
+def visibility_grid(scene: GaussianScene, accel: GridAccel, origins,
+                    directions, t_end, settings: RenderSettings,
+                    max_steps: int = 128):
+    """Shadow-ray transmittance via the grid (visibility_dense analog)."""
+    r = origins.shape[0]
+    m_all = gops.canonical_transforms(scene.log_scales, scene.quats)
+    opac = scene.opacities
+    state = _dda_init(origins, directions, accel, settings.t_min)
+    dims = accel.dims
+    step_dir, t_delta, t_far = state["step"], state["t_delta"], state["t_far"]
+
+    init = dict(logt=jnp.zeros((r,)), cell=state["cell"],
+                t_next=state["t_next"], t_cur=state["t_entry"],
+                alive=state["alive"])
+
+    def body(carry, _):
+        cell = carry["cell"]
+        in_bounds = jnp.all((cell >= 0) & (cell < jnp.asarray(dims)), -1)
+        alive = carry["alive"] & in_bounds
+        lin = jnp.clip(_cell_linear(cell, dims), 0,
+                       accel.cell_indices.shape[0] - 1)
+        gids = accel.cell_indices[lin]
+        valid_g = (gids >= 0) & alive[:, None]
+        gsafe = jnp.maximum(gids, 0)
+        t_exit = jnp.min(carry["t_next"], -1)
+        seg_end = jnp.minimum(t_exit, t_end)
+        a = gops.segment_transmittance_alpha(
+            origins[:, None, :], directions[:, None, :],
+            scene.means[gsafe], m_all[gsafe], opac[gsafe],
+            jnp.maximum(carry["t_cur"], settings.t_min)[:, None],
+            seg_end[:, None], settings.alpha_min, settings.alpha_max)
+        # only count Gaussians whose peak falls in this slab (avoid double
+        # counting across cells)
+        t_peak, _ = gops.peak_response(
+            origins[:, None, :], directions[:, None, :],
+            scene.means[gsafe], m_all[gsafe], settings.t_min, settings.t_max)
+        # exact half-open slab [t_cur, t_exit): t_cur is the previous step's
+        # t_exit bitwise, so every peak lands in exactly one slab (an epsilon
+        # overlap here double-counts boundary Gaussians)
+        in_slab = (t_peak >= carry["t_cur"][:, None]) \
+            & (t_peak < t_exit[:, None])
+        a = jnp.where(valid_g & in_slab, a, 0.0)
+        logt = carry["logt"] + jnp.sum(jnp.log1p(-a), -1)
+
+        axis = jnp.argmin(carry["t_next"], -1)
+        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        new_alive = alive & (t_exit < jnp.minimum(t_far, t_end))
+        return dict(logt=logt, cell=cell + onehot * step_dir,
+                    t_next=carry["t_next"] + onehot.astype(jnp.float32) * t_delta,
+                    t_cur=t_exit, alive=new_alive), None
+
+    carry, _ = jax.lax.scan(body, init, None, length=max_steps)
+    return jnp.exp(carry["logt"])

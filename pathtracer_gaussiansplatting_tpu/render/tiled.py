@@ -92,6 +92,89 @@ def tile_composite_reference(origin, pixel_dirs, means, m_mats, opacities,
     return out, alpha_acc, depth
 
 
+def _tile_dirs(camera: Camera, config: BinningConfig, jitter=None):
+    """Per-tile pixel directions (T, P, 3) + an untile closure.
+
+    ``jitter``: optional (H, W, 2) subpixel offsets (progressive AA,
+    raygen_camera.rgen:25-29)."""
+    ts = config.tile_size
+    tiles_x, tiles_y = num_tiles(camera, config)
+    pad_w, pad_h = tiles_x * ts, tiles_y * ts
+    rays = generate_rays(camera, jitter=jitter)
+    dirs = rays.directions.reshape(camera.height, camera.width, 3)
+    dirs = jnp.pad(dirs, ((0, pad_h - camera.height),
+                          (0, pad_w - camera.width), (0, 0)), mode="edge")
+    dirs_t = dirs.reshape(tiles_y, ts, tiles_x, ts, 3)
+    dirs_t = dirs_t.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tiles_x,
+                                                     ts * ts, 3)
+
+    def untile(x):
+        ch = x.shape[-1]
+        x = x.reshape(tiles_y, tiles_x, ts, ts, ch)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(pad_h, pad_w, ch)
+        return x[:camera.height, :camera.width]
+
+    return dirs_t, untile
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "config"))
+def prepare_tiles(scene: GaussianScene, camera: Camera,
+                  settings: RenderSettings = RenderSettings(),
+                  config: BinningConfig = BinningConfig()):
+    """Per-(scene, pose) preprocessing: projection, binning, packet gathers.
+
+    This is the expensive stage (sort + gathers). In the capture workload
+    (engine.cpp:2684: accumulation_steps samples per pose) it runs ONCE per
+    pose while :func:`render_prepared` runs per sample — the GPU analog is
+    the static TLAS reused across accumulation frames (engine.cpp:1385).
+    """
+    from pathtracer_gaussiansplatting_tpu.kernels.tile_composite import (
+        build_tile_packets,
+    )
+
+    tiles_x, tiles_y = num_tiles(camera, config)
+    proj = project_gaussians(scene, camera, config)
+    tile_idx, tile_mask, _ = bin_gaussians(proj, tiles_x, tiles_y, config)
+    origin = camera.c2w[:3, 3]
+    feats_all = _packet_features(scene, origin, settings)
+    packets = build_tile_packets(scene, feats_all, origin, tile_idx,
+                                 tile_mask)
+    return packets
+
+
+@functools.partial(
+    jax.jit, static_argnames=("settings", "config", "interpret"))
+def render_prepared(packets, camera: Camera,
+                    settings: RenderSettings = RenderSettings(),
+                    config: BinningConfig = BinningConfig(),
+                    interpret: bool = False, jitter=None):
+    """Composite one sample from prepared packets (optionally jittered rays)."""
+    from pathtracer_gaussiansplatting_tpu.kernels.tile_composite import (
+        tile_composite,
+    )
+
+    dirs_t, untile = _tile_dirs(camera, config, jitter=jitter)
+    out, alpha_acc, depth = tile_composite(packets, dirs_t, settings,
+                                           interpret)
+    out_img = untile(out)
+    alpha_img = untile(alpha_acc[..., None])[..., 0]
+    depth_img = untile(depth[..., None])[..., 0]
+    bg = jnp.asarray(settings.background, jnp.float32)
+    color = out_img[..., :3] + (1.0 - alpha_img[..., None]) * bg
+    return dict(color=color, feats=out_img, alpha_acc=alpha_img,
+                depth=depth_img)
+
+
+def render_tiled_pallas(scene: GaussianScene, camera: Camera,
+                        settings: RenderSettings = RenderSettings(),
+                        config: BinningConfig = BinningConfig(),
+                        interpret: bool = False):
+    """render_tiled semantics through the fused Pallas kernel
+    (kernels/tile_composite.py). Same outputs as :func:`render_tiled`."""
+    packets = prepare_tiles(scene, camera, settings, config)
+    return render_prepared(packets, camera, settings, config, interpret)
+
+
 @functools.partial(
     jax.jit, static_argnames=("settings", "config", "chunk"))
 def render_tiled(scene: GaussianScene, camera: Camera,

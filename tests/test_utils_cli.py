@@ -1,0 +1,135 @@
+"""utils (checkpoint/logging/profiling) + CLI smoke tests."""
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_gaussiansplatting_tpu.utils import checkpoint as ckpt
+from pathtracer_gaussiansplatting_tpu.utils.logging import MetricsLogger
+from pathtracer_gaussiansplatting_tpu.utils.profiling import RaysPerSecondMeter
+
+from utils import random_scene
+
+
+class TestCheckpoint:
+    def test_render_state_roundtrip(self, tmp_path, rng):
+        acc = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+        key = jax.random.PRNGKey(13)
+        path = str(tmp_path / "state.npz")
+        ckpt.save_render_state(path, acc, 37, key, extra=dict(pose=4))
+        back = ckpt.load_render_state(path)
+        np.testing.assert_array_equal(np.asarray(back["accumulation"]),
+                                      np.asarray(acc))
+        assert back["frames_done"] == 37
+        np.testing.assert_array_equal(np.asarray(back["base_key"]),
+                                      np.asarray(key))
+        assert back["extra"]["pose"] == 4
+
+    def test_resume_continues_accumulation(self, rng):
+        # accumulate(…) from a restored (acc, n) equals uninterrupted stream.
+        from pathtracer_gaussiansplatting_tpu.render.pathtrace import accumulate
+
+        xs = rng.normal(size=(10, 4)).astype(np.float32)
+        full = jnp.zeros((4,))
+        for i, x in enumerate(xs):
+            full = accumulate(full, jnp.asarray(x), i)
+        part = jnp.zeros((4,))
+        for i in range(6):
+            part = accumulate(part, jnp.asarray(xs[i]), i)
+        resumed = part  # as if reloaded
+        for i in range(6, 10):
+            resumed = accumulate(resumed, jnp.asarray(xs[i]), i)
+        np.testing.assert_allclose(np.asarray(resumed), np.asarray(full),
+                                   atol=1e-6)
+
+    def test_scene_roundtrip(self, tmp_path, rng):
+        scene = random_scene(12, rng, sh_degree=1)
+        path = str(tmp_path / "scene.npz")
+        ckpt.save_scene(path, scene)
+        back = ckpt.load_scene(path)
+        np.testing.assert_array_equal(np.asarray(back.means),
+                                      np.asarray(scene.means))
+        np.testing.assert_array_equal(np.asarray(back.sh_coeffs),
+                                      np.asarray(scene.sh_coeffs))
+
+    def test_capture_progress(self, tmp_path):
+        path = str(tmp_path / "p.json")
+        j = ckpt.CaptureProgress(path)
+        assert not j.is_done(3)
+        j.mark(3)
+        j.mark(7)
+        j2 = ckpt.CaptureProgress(path)
+        assert j2.is_done(3) and j2.is_done(7) and not j2.is_done(5)
+
+
+class TestLoggingProfiling:
+    def test_metrics_jsonl(self, tmp_path):
+        path = str(tmp_path / "m.jsonl")
+        m = MetricsLogger(path)
+        m.log(0, rays_per_s=1e6, loss=0.5)
+        m.log(1, rays_per_s=2e6)
+        m.close()
+        lines = [json.loads(l) for l in open(path)]
+        assert lines[0]["rays_per_s"] == 1e6 and lines[1]["step"] == 1
+
+    def test_rays_meter(self):
+        m = RaysPerSecondMeter()
+        m.add(1000)
+        assert m.rays_per_s > 0
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)  # drop axon sitecustomize
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable, "-m", "pathtracer_gaussiansplatting_tpu.cli"] + args,
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=600)
+
+
+class TestCli:
+    @pytest.fixture
+    def scene_json(self, tmp_path):
+        p = tmp_path / "scene.json"
+        p.write_text(json.dumps({
+            "settings": {
+                "ambient_light": [0.1, 0.1, 0.15, 1.0],
+                "torus_settings": {"major_radius": 16.0, "height": 8.0,
+                                   "num_rays": 300},
+                "accumulation_steps": 2, "total_positions": 2,
+                "width": 16, "height": 16, "max_depth": 1,
+            },
+            "objects": [
+                {"model": "builtin:debug_cube?size=8", "position": [0, 8, 0]},
+            ],
+        }))
+        return str(p)
+
+    def test_render_command(self, scene_json, tmp_path):
+        out = str(tmp_path / "frame.png")
+        r = _run_cli(["render", "--scene", scene_json, "--output", out,
+                      "--spp", "2", "--width", "16", "--height", "16",
+                      "--chunk", "256"], str(tmp_path))
+        assert r.returncode == 0, r.stderr[-2000:]
+        from PIL import Image
+
+        assert Image.open(out).size == (16, 16)
+
+    def test_capture_command(self, scene_json, tmp_path):
+        out = str(tmp_path / "ds")
+        r = _run_cli(["capture-dataset", "--scene", scene_json, "--output",
+                      out, "--spp", "2", "--chunk", "256"], str(tmp_path))
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.exists(os.path.join(out, "transforms_train.json"))
+        assert os.path.exists(os.path.join(out, "points3d.ply"))
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        assert stats["train"] == 1 and stats["test"] == 1  # i%4==0 split of 2
