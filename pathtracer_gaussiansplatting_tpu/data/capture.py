@@ -47,15 +47,24 @@ CAPTURE_SEED = 13  # engine.cpp:2673 mt19937(13)
 
 
 def make_accumulating_renderer(scene, settings: RenderSettings, punctual,
-                               spp: int, key=None):
+                               spp: int, key=None, backend: str = "auto",
+                               **backend_kw):
     """One jitted function: rays -> accumulated radiance over spp samples.
 
     The accumulation loop runs on-device (lax.fori_loop), preserving the
     reference's progressive mix(prev, cur, 1/(n+1)) semantics
-    (raygen_camera.rgen:80-87) with bitwise-deterministic order.
+    (raygen_camera.rgen:80-87) with bitwise-deterministic order. ``backend``
+    selects the traversal structure (render/pipeline.py): dense oracle for
+    small scenes, uniform-grid DDA at scale.
     """
+    from pathtracer_gaussiansplatting_tpu.render.pipeline import (
+        make_trace_backend,
+    )
+
     tables = lights_mod.build_light_tables(scene, punctual)
     base_key = jax.random.PRNGKey(CAPTURE_SEED) if key is None else key
+    trace_fn, vis_fn = make_trace_backend(scene, settings, backend,
+                                          **backend_kw)
 
     @jax.jit
     def render(origins, directions):
@@ -64,7 +73,8 @@ def make_accumulating_renderer(scene, settings: RenderSettings, punctual,
         def body(i, acc):
             cur = pathtrace(scene, rays, settings,
                             rng_mod.frame_key(base_key, i),
-                            tables=tables, punctual=punctual)
+                            tables=tables, punctual=punctual,
+                            trace_fn=trace_fn, visibility_fn=vis_fn)
             return acc + (cur - acc) / (i + 1.0)
 
         init = jnp.zeros((origins.shape[0], 3))
@@ -102,6 +112,7 @@ def capture_scene_data(scene, out_dir: str,
                        num_rays: Optional[int] = None,
                        chunk: int = 65536,
                        resume: bool = True,
+                       backend: str = "auto",
                        progress: Optional[Callable[[str], None]] = print):
     """Full dataset capture (images + transforms + point cloud).
 
@@ -116,7 +127,13 @@ def capture_scene_data(scene, out_dir: str,
 
     cap_rng = np.random.RandomState(CAPTURE_SEED)
     render_fn = make_accumulating_renderer(scene, settings, punctual,
-                                           accumulation_steps)
+                                           accumulation_steps,
+                                           backend=backend)
+    from pathtracer_gaussiansplatting_tpu.render.pipeline import (
+        make_trace_backend,
+    )
+
+    trace_fn, _ = make_trace_backend(scene, settings, backend)
     train_frames, test_frames = [], []
     os.makedirs(os.path.join(out_dir, "train"), exist_ok=True)
     journal = CaptureProgress(os.path.join(out_dir, ".progress.json")) \
@@ -158,14 +175,13 @@ def capture_scene_data(scene, out_dir: str,
         uv = generate_samples(SamplingMethod(sampling_method), n_rays)
         rays = torus_rays(jnp.asarray(uv), torus)
         positions, normals, colors, flags = [], [], [], []
+        trace_jit = jax.jit(lambda sc, r: trace_fn(sc, r, settings))
         for s in range(0, n_rays, chunk):
             e = min(s + chunk, n_rays)
             chunk_rays = Rays(rays.origins[s:e], rays.directions[s:e])
             color = np.asarray(render_fn(chunk_rays.origins,
                                          chunk_rays.directions))
-            inter = jax.jit(
-                functools.partial(ref.trace_dense, settings=settings)
-            )(scene, chunk_rays)
+            inter = trace_jit(scene, chunk_rays)
             positions.append(np.asarray(inter["position"]))
             normals.append(np.asarray(inter["normal"]))
             colors.append(color)

@@ -1,0 +1,82 @@
+"""Image metrics + backend pipeline selection tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_gaussiansplatting_tpu.core.camera import Camera, generate_rays, look_at
+from pathtracer_gaussiansplatting_tpu.core.types import RenderSettings
+from pathtracer_gaussiansplatting_tpu.render.pipeline import make_trace_backend
+from pathtracer_gaussiansplatting_tpu.utils.metrics import mse, psnr, ssim
+
+from utils import random_scene
+
+
+class TestMetrics:
+    def test_psnr_identity(self, rng):
+        img = jnp.asarray(rng.uniform(size=(16, 16, 3)), jnp.float32)
+        assert float(psnr(img, img)) > 100.0
+
+    def test_psnr_known_value(self):
+        a = jnp.zeros((8, 8, 3))
+        b = jnp.full((8, 8, 3), 0.1)
+        # mse = 0.01 -> psnr = 20 dB
+        assert float(psnr(a, b)) == pytest.approx(20.0, abs=1e-3)
+
+    def test_ssim_identity_and_noise(self, rng):
+        img = jnp.asarray(rng.uniform(size=(32, 32, 3)), jnp.float32)
+        assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+        noisy = img + jnp.asarray(rng.normal(0, 0.2, (32, 32, 3)), jnp.float32)
+        s = float(ssim(img, jnp.clip(noisy, 0, 1)))
+        assert 0.0 < s < 0.95
+
+    def test_ssim_monotone_in_noise(self, rng):
+        img = jnp.asarray(rng.uniform(size=(24, 24, 3)), jnp.float32)
+        vals = []
+        for sigma in (0.02, 0.1, 0.3):
+            noisy = jnp.clip(img + jnp.asarray(
+                rng.normal(0, sigma, (24, 24, 3)), jnp.float32), 0, 1)
+            vals.append(float(ssim(img, noisy)))
+        assert vals[0] > vals[1] > vals[2]
+
+
+class TestPipeline:
+    def test_auto_selects_dense_small(self, rng):
+        scene = random_scene(100, rng)
+        settings = RenderSettings()
+        from pathtracer_gaussiansplatting_tpu.render.reference import trace_dense
+
+        trace_fn, _ = make_trace_backend(scene, settings, "auto")
+        assert trace_fn is trace_dense
+
+    def test_grid_backend_renders(self, rng):
+        scene = random_scene(300, rng, spread=1.0)
+        settings = RenderSettings(max_contribs=48)
+        trace_fn, vis_fn = make_trace_backend(
+            scene, settings, "grid", grid_dims=(8, 8, 8), max_per_cell=128,
+            max_steps=32)
+        cam = Camera(c2w=look_at((0, 0.3, 4.0), (0, 0, 0)), fov_y_deg=45.0,
+                     width=8, height=8)
+        rays = generate_rays(cam)
+        out = trace_fn(scene, rays, settings)
+        assert np.isfinite(np.asarray(out["albedo"])).all()
+        vis = vis_fn(rays.origins, rays.directions, jnp.full((64,), 5.0))
+        assert np.asarray(vis).shape == (64,)
+
+    def test_capture_with_grid_backend(self, tmp_path):
+        from pathtracer_gaussiansplatting_tpu.core.torus import TorusConfig
+        from pathtracer_gaussiansplatting_tpu.data.capture import (
+            capture_scene_data,
+        )
+        from pathtracer_gaussiansplatting_tpu.models.scene import (
+            debug_cube_scene,
+        )
+
+        scene = debug_cube_scene(center=(0.0, 8.0, 0.0), size=8.0, res=4)
+        settings = RenderSettings(max_depth=1, max_contribs=32,
+                                  ambient=(0.1, 0.1, 0.1, 1.0))
+        out = capture_scene_data(
+            scene, str(tmp_path), settings, torus=TorusConfig(num_rays=300),
+            accumulation_steps=2, total_positions=2, image_divisor=1,
+            width=8, height=8, progress=None, chunk=512, backend="grid")
+        assert out["num_points"] > 0
