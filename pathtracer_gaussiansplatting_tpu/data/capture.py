@@ -96,6 +96,50 @@ def render_pose(render_fn, c2w, width, height, fov_y_deg, chunk: int = 65536):
     return np.concatenate(outs, 0).reshape(height, width, 3)
 
 
+def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
+                             spp: int, key=None, bounce_backend: str = "auto",
+                             binning_config=None, **backend_kw):
+    """Pose renderer using the fused tile pipeline for primary rays.
+
+    Per pose: ONE prepare_tiles (binning, the TLAS analog), then spp
+    path-traced samples with fresh subpixel jitter (raygen_camera.rgen:25-29)
+    whose bounces use the chosen backend. Returns
+    render(c2w, width, height, fov_y_deg) -> (H, W, 3) numpy.
+    """
+    from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
+    from pathtracer_gaussiansplatting_tpu.render.pathtrace import (
+        accumulate, pathtrace_camera,
+    )
+    from pathtracer_gaussiansplatting_tpu.render.pipeline import (
+        make_trace_backend,
+    )
+    from pathtracer_gaussiansplatting_tpu.render.tiled import prepare_tiles
+
+    config = binning_config or BinningConfig()
+    tables = lights_mod.build_light_tables(scene, punctual)
+    base_key = jax.random.PRNGKey(CAPTURE_SEED) if key is None else key
+    trace_fn, vis_fn = make_trace_backend(scene, settings, bounce_backend,
+                                          **backend_kw)
+
+    def render(c2w, width, height, fov_y_deg):
+        cam = Camera(c2w=c2w, fov_y_deg=fov_y_deg, width=width,
+                     height=height)
+        packets = prepare_tiles(scene, cam, settings, config)
+        acc = jnp.zeros((height * width, 3))
+        for f in range(spp):
+            fkey = rng_mod.frame_key(base_key, f)
+            jitter = rng_mod.subpixel_jitter(base_key, height, width, f)
+            cur = pathtrace_camera(scene, cam, settings, fkey,
+                                   packets=packets, tables=tables,
+                                   punctual=punctual, trace_fn=trace_fn,
+                                   visibility_fn=vis_fn, config=config,
+                                   jitter=jitter)
+            acc = accumulate(acc, cur, f)
+        return np.asarray(acc).reshape(height, width, 3)
+
+    return render
+
+
 def capture_scene_data(scene, out_dir: str,
                        settings: RenderSettings,
                        torus: TorusConfig = TorusConfig(),
@@ -126,14 +170,25 @@ def capture_scene_data(scene, out_dir: str,
     from pathtracer_gaussiansplatting_tpu.utils.checkpoint import CaptureProgress
 
     cap_rng = np.random.RandomState(CAPTURE_SEED)
+    # 'tiled' uses the fused tile pipeline for camera rays (production path
+    # at large N); anything else path-traces flat ray chunks end-to-end.
+    tiled_images = backend.startswith("tiled")
+    bounce_backend = backend.split("+", 1)[1] if "+" in backend else "auto"
+    if tiled_images:
+        pose_render = make_tiled_pose_renderer(
+            scene, settings, punctual, accumulation_steps,
+            bounce_backend=bounce_backend)
+        flat_backend = bounce_backend
+    else:
+        flat_backend = backend
     render_fn = make_accumulating_renderer(scene, settings, punctual,
                                            accumulation_steps,
-                                           backend=backend)
+                                           backend=flat_backend)
     from pathtracer_gaussiansplatting_tpu.render.pipeline import (
         make_trace_backend,
     )
 
-    trace_fn, _ = make_trace_backend(scene, settings, backend)
+    trace_fn, _ = make_trace_backend(scene, settings, flat_backend)
     train_frames, test_frames = [], []
     os.makedirs(os.path.join(out_dir, "train"), exist_ok=True)
     journal = CaptureProgress(os.path.join(out_dir, ".progress.json")) \
@@ -149,8 +204,11 @@ def capture_scene_data(scene, out_dir: str,
             img_path = os.path.join(out_dir, "train", f"r_{i}.jpg")
             if not (journal and journal.is_done(i)
                     and os.path.exists(img_path)):
-                img = render_pose(render_fn, c2w, width, height, fov_y_deg,
-                                  chunk)
+                if tiled_images:
+                    img = pose_render(c2w, width, height, fov_y_deg)
+                else:
+                    img = render_pose(render_fn, c2w, width, height,
+                                      fov_y_deg, chunk)
                 img = box_downscale(img, image_divisor)
                 save_jpg(img_path, np.clip(img, 0.0, 1.0))
                 if journal:

@@ -157,6 +157,9 @@ def _kernel(dq_ref, d3_ref, q6_ref, wb_ref, c_ref, opac_ref, feats_ref,
 
 def _tile_composite_pallas(packets, dirs, settings: RenderSettings,
                            interpret: bool = False):
+    # Mosaic only compiles for TPU; on the CPU backend fall back to the
+    # interpreter automatically (tests, debugging).
+    interpret = interpret or jax.default_backend() == "cpu"
     t_total, k = packets["c"].shape
     p = dirs.shape[1]
     f = packets["feats"].shape[-1]

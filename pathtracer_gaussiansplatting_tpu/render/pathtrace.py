@@ -106,7 +106,8 @@ def pathtrace(scene: GaussianScene, rays: Rays,
               tables: Optional[lights_mod.LightTables] = None,
               punctual: Optional[PunctualLights] = None,
               trace_fn: Optional[Callable] = None,
-              visibility_fn: Optional[Callable] = None):
+              visibility_fn: Optional[Callable] = None,
+              primary_interaction=None):
     """Trace one sample-per-pixel of full path-traced radiance.
 
     Args:
@@ -114,6 +115,9 @@ def pathtrace(scene: GaussianScene, rays: Rays,
       trace_fn(scene, rays, settings) -> interaction dict (default dense).
       visibility_fn(origins, dirs, t_end) -> (R,) transmittance
         (default dense soft shadows).
+      primary_interaction: optional precomputed depth-0 interaction (e.g.
+        from the fused tile pipeline, see pathtrace_camera) — the camera
+        trace is then skipped and bounces use trace_fn.
 
     Returns (R, 3) linear radiance.
     """
@@ -136,7 +140,10 @@ def pathtrace(scene: GaussianScene, rays: Rays,
 
     for d in range(settings.max_depth):
         dkey = jax.random.fold_in(key, d)
-        inter = trace_fn(scene, Rays(origins, dirs), settings)
+        if d == 0 and primary_interaction is not None:
+            inter = primary_interaction
+        else:
+            inter = trace_fn(scene, Rays(origins, dirs), settings)
         alpha = inter["alpha_acc"]
         trans = inter["trans"]
 
@@ -200,6 +207,64 @@ def pathtrace(scene: GaussianScene, rays: Rays,
             alive = alive & survive
 
     return jnp.minimum(radiance, settings.firefly_clamp)
+
+
+def interaction_from_tiles(out, rays: Rays, settings: RenderSettings):
+    """Convert render_prepared output into a trace_dense-style interaction.
+
+    Tile feature channels (render/tiled._packet_features): rgb(3) emission(3)
+    metallic(1) roughness(1) normal(3), all alpha-weighted sums; intrinsic
+    properties are re-normalized by accumulated alpha like trace_dense.
+    """
+    from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
+
+    h, w, f = out["feats"].shape
+    feats = out["feats"].reshape(-1, f)
+    alpha = out["alpha_acc"].reshape(-1)
+    depth = out["depth"].reshape(-1)
+    denom = jnp.maximum(alpha, 1e-8)
+    normal = safe_normalize(feats[:, 8:11])
+    position = rays.origins + depth[:, None] * rays.directions
+    return dict(
+        radiance_emitted=feats[:, 3:6],
+        albedo=feats[:, 0:3],
+        normal=normal,
+        position=position,
+        depth=depth,
+        metallic=feats[:, 6] / denom,
+        roughness=feats[:, 7] / denom,
+        alpha_acc=alpha,
+        trans=1.0 - alpha,
+        hit=alpha > settings.hit_opacity_threshold,
+    )
+
+
+def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
+                     key, packets=None, tables=None, punctual=None,
+                     trace_fn=None, visibility_fn=None,
+                     config=None, jitter=None):
+    """Production path tracing for a camera pose: fused tile pipeline for the
+    primary hit (binning amortized via ``packets`` from prepare_tiles),
+    grid/dense backend for bounces and shadows.
+
+    Returns (H*W, 3) radiance.
+    """
+    from pathtracer_gaussiansplatting_tpu.core.camera import generate_rays
+    from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
+    from pathtracer_gaussiansplatting_tpu.render.tiled import (
+        prepare_tiles, render_prepared,
+    )
+
+    config = config or BinningConfig()
+    if packets is None:
+        packets = prepare_tiles(scene, camera, settings, config)
+    out = render_prepared(packets, camera, settings, config, jitter=jitter)
+    rays = generate_rays(camera, jitter=jitter)
+    primary = interaction_from_tiles(out, rays, settings)
+    return pathtrace(scene, rays, settings, key, tables=tables,
+                     punctual=punctual, trace_fn=trace_fn,
+                     visibility_fn=visibility_fn,
+                     primary_interaction=primary)
 
 
 def accumulate(prev, cur, frame):

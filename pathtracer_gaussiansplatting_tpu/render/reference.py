@@ -86,7 +86,7 @@ def _gather_features(scene: GaussianScene, rays: Rays, idx, t, settings):
 
 
 def trace_dense(scene: GaussianScene, rays: Rays,
-                settings: RenderSettings) -> Dict[str, Any]:
+                settings: RenderSettings, sort_depths=None) -> Dict[str, Any]:
     """Trace rays against the whole scene; composite a surface interaction.
 
     The composited aggregate plays the role of the reference's closest-hit
@@ -98,7 +98,7 @@ def trace_dense(scene: GaussianScene, rays: Rays,
       radiance_emitted, albedo, normal, position, depth, metallic, roughness,
       alpha_acc, trans, hit (bool).
     """
-    idx, t, alpha = dense_topk(scene, rays, settings)
+    idx, t, alpha = dense_topk(scene, rays, settings, sort_depths)
     feats = _gather_features(scene, rays, idx, t, settings)
     weights, trans = composite_weights(alpha)             # (R,K), (R,)
     alpha_acc = 1.0 - trans

@@ -80,3 +80,35 @@ class TestPipeline:
             accumulation_steps=2, total_positions=2, image_divisor=1,
             width=8, height=8, progress=None, chunk=512, backend="grid")
         assert out["num_points"] > 0
+
+
+class TestTiledCapture:
+    def test_capture_with_tiled_backend(self, tmp_path):
+        from pathtracer_gaussiansplatting_tpu.core.torus import TorusConfig
+        from pathtracer_gaussiansplatting_tpu.data.capture import (
+            capture_scene_data,
+        )
+        from pathtracer_gaussiansplatting_tpu.models.scene import (
+            debug_cube_scene,
+        )
+
+        scene = debug_cube_scene(center=(0.0, 8.0, 0.0), size=8.0, res=4)
+        settings = RenderSettings(max_depth=2, max_contribs=32,
+                                  ambient=(0.1, 0.1, 0.1, 1.0))
+        from pathtracer_gaussiansplatting_tpu.core.torus import TorusConfig
+
+        out = capture_scene_data(
+            scene, str(tmp_path), settings, torus=TorusConfig(num_rays=200),
+            accumulation_steps=2, total_positions=2, image_divisor=1,
+            width=32, height=32, progress=None, chunk=512,
+            backend="tiled+dense")
+        import os
+
+        assert os.path.exists(tmp_path / "train" / "r_0.jpg")
+        assert out["num_points"] >= 0
+        # the cube must actually appear in the tiled capture
+        from PIL import Image
+        import numpy as np
+
+        img = np.asarray(Image.open(tmp_path / "train" / "r_0.jpg"))
+        assert img.max() > 100  # bright emissive cube visible

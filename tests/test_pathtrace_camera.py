@@ -1,0 +1,101 @@
+"""Production pipeline: tiled primary + grid/dense bounces."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_gaussiansplatting_tpu.core.camera import (
+    Camera, generate_rays, look_at, view_matrix,
+)
+from pathtracer_gaussiansplatting_tpu.core.types import RenderSettings
+from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
+from pathtracer_gaussiansplatting_tpu.render.pathtrace import (
+    interaction_from_tiles, pathtrace, pathtrace_camera,
+)
+from pathtracer_gaussiansplatting_tpu.render.reference import trace_dense
+from pathtracer_gaussiansplatting_tpu.render.tiled import render_tiled_pallas
+
+from utils import random_scene
+
+KEY = jax.random.PRNGKey(13)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(13)
+    # mild emission: strong emitters amplify the mean-depth ordering
+    # approximation, which is not what these comparisons measure
+    scene = random_scene(200, rng, spread=1.0, emissive_frac=0.05)
+    scene = scene.replace(emission=scene.emission * 0.2)
+    cam = Camera(c2w=look_at((0, 0.3, 4.0), (0, 0, 0)), fov_y_deg=45.0,
+                 width=32, height=16)
+    settings = RenderSettings(max_contribs=64, max_depth=2,
+                              ambient=(0.05, 0.05, 0.08, 1.0))
+    return scene, cam, settings
+
+
+class TestInteractionFromTiles:
+    def test_matches_trace_dense(self, setup):
+        from pathtracer_gaussiansplatting_tpu.core.camera import view_matrix
+
+        scene, cam, settings = setup
+        cfg = BinningConfig(max_per_tile=200)
+        out = render_tiled_pallas(scene, cam, settings, cfg, interpret=True)
+        rays = generate_rays(cam)
+        inter_t = interaction_from_tiles(out, rays, settings)
+        # oracle with the SAME mean-depth ordering the tile path uses
+        w2c = np.asarray(view_matrix(cam))
+        depth_mean = -(np.asarray(scene.means) @ w2c[:3, :3].T
+                       + w2c[:3, 3])[:, 2]
+        inter_d = trace_dense(scene, rays, settings,
+                              sort_depths=jnp.asarray(depth_mean))
+        np.testing.assert_allclose(np.asarray(inter_t["alpha_acc"]),
+                                   np.asarray(inter_d["alpha_acc"]),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(inter_t["radiance_emitted"]),
+                                   np.asarray(inter_d["radiance_emitted"]),
+                                   atol=5e-2)
+        hit = np.asarray(inter_d["hit"])
+        np.testing.assert_allclose(np.asarray(inter_t["depth"])[hit],
+                                   np.asarray(inter_d["depth"])[hit],
+                                   atol=0.1)
+
+    def test_position_on_ray(self, setup):
+        scene, cam, settings = setup
+        cfg = BinningConfig(max_per_tile=200)
+        out = render_tiled_pallas(scene, cam, settings, cfg, interpret=True)
+        rays = generate_rays(cam)
+        inter = interaction_from_tiles(out, rays, settings)
+        d = np.asarray(inter["position"]) - np.asarray(rays.origins)
+        d_norm = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True),
+                                1e-9)
+        dirs = np.asarray(rays.directions)
+        hit = np.asarray(inter["hit"])
+        assert (np.abs((d_norm * dirs).sum(-1)[hit] - 1.0) < 1e-4).all()
+
+
+class TestPathtraceCamera:
+    def test_close_to_dense_pathtrace(self, setup):
+        scene, cam, settings = setup
+        rays = generate_rays(cam)
+        ref = np.asarray(pathtrace(scene, rays, settings, KEY))
+        out = np.asarray(pathtrace_camera(
+            scene, cam, settings, KEY,
+            config=BinningConfig(max_per_tile=200)))
+        assert np.isfinite(out).all()
+        # same RNG + near-identical primary interaction => close radiance
+        assert np.abs(out - ref).mean() < 3e-2
+
+    def test_packets_reuse_across_samples(self, setup):
+        from pathtracer_gaussiansplatting_tpu.render.tiled import prepare_tiles
+
+        scene, cam, settings = setup
+        cfg = BinningConfig(max_per_tile=200)
+        pk = prepare_tiles(scene, cam, settings, cfg)
+        a = np.asarray(pathtrace_camera(scene, cam, settings, KEY,
+                                        packets=pk, config=cfg))
+        b = np.asarray(pathtrace_camera(scene, cam, settings,
+                                        jax.random.PRNGKey(99),
+                                        packets=pk, config=cfg))
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        assert np.abs(a - b).max() > 0  # different sample keys differ
