@@ -53,15 +53,34 @@ class GridAccel:
 
 
 def build_grid_accel(scene: GaussianScene, dims=(64, 64, 64),
-                     max_per_cell: int = 64,
-                     sigma: float = 3.0) -> GridAccel:
-    """Build the grid on the host (native C++ when available)."""
+                     max_per_cell: int = 64, sigma: float = 3.0,
+                     max_radius_cells: float = 6.0) -> GridAccel:
+    """Build the grid on the host (native C++ when available).
+
+    ``max_radius_cells`` clamps each Gaussian's binning radius to that many
+    cell widths: a fat Gaussian spanning the whole grid would otherwise be
+    inserted into O(dims^3) cells (hundreds of seconds at 200k Gaussians).
+    Clamped Gaussians lose fringe coverage beyond the clamp — raise the grid
+    resolution or the clamp for scenes dominated by huge splats.
+    """
     from pathtracer_gaussiansplatting_tpu.csrc.build import grid_bin
+    from pathtracer_gaussiansplatting_tpu.utils.logging import get_logger
 
     centers = np.asarray(scene.means, np.float32)
     radii = sigma * np.exp(np.asarray(scene.log_scales)).max(-1)
+    lo = (centers - radii[:, None]).min(0)
+    hi = (centers + radii[:, None]).max(0)
+    cell = (hi - lo) / np.asarray(dims, np.float32)
+    r_cap = max_radius_cells * float(cell.max())
+    n_clamped = int((radii > r_cap).sum())
+    if n_clamped:
+        get_logger().warning(
+            "grid_accel: clamping %d/%d Gaussian radii to %.3g "
+            "(%.0f cells); raise dims/max_radius_cells if fringe coverage "
+            "matters", n_clamped, len(radii), r_cap, max_radius_cells)
+    radii = np.minimum(radii, r_cap)
     idx, cnt, lo, hi = grid_bin(centers, radii.astype(np.float32), dims,
-                                max_per_cell=max_per_cell)
+                                lo=lo, hi=hi, max_per_cell=max_per_cell)
     return GridAccel(cell_indices=jnp.asarray(idx), lo=jnp.asarray(lo),
                      hi=jnp.asarray(hi), dims=tuple(int(d) for d in dims))
 

@@ -242,12 +242,14 @@ def interaction_from_tiles(out, rays: Rays, settings: RenderSettings):
 def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
                      key, packets=None, tables=None, punctual=None,
                      trace_fn=None, visibility_fn=None,
-                     config=None, jitter=None):
+                     config=None, jitter=None, chunk: int = 65536):
     """Production path tracing for a camera pose: fused tile pipeline for the
     primary hit (binning amortized via ``packets`` from prepare_tiles),
     grid/dense backend for bounces and shadows.
 
-    Returns (H*W, 3) radiance.
+    The bounce continuation runs in ray chunks of ``chunk`` (the grid DDA
+    gathers (R, Kc, 3, 3) canonical transforms per step — unbounded R blows
+    HBM at 4K images). Returns (H*W, 3) radiance.
     """
     from pathtracer_gaussiansplatting_tpu.core.camera import generate_rays
     from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
@@ -261,10 +263,24 @@ def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
     out = render_prepared(packets, camera, settings, config, jitter=jitter)
     rays = generate_rays(camera, jitter=jitter)
     primary = interaction_from_tiles(out, rays, settings)
-    return pathtrace(scene, rays, settings, key, tables=tables,
-                     punctual=punctual, trace_fn=trace_fn,
-                     visibility_fn=visibility_fn,
-                     primary_interaction=primary)
+    n = rays.num_rays
+    if n <= chunk:
+        return pathtrace(scene, rays, settings, key, tables=tables,
+                         punctual=punctual, trace_fn=trace_fn,
+                         visibility_fn=visibility_fn,
+                         primary_interaction=primary)
+    parts = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        sub_rays = Rays(rays.origins[s:e], rays.directions[s:e])
+        sub_primary = {k: v[s:e] for k, v in primary.items()}
+        parts.append(pathtrace(scene, sub_rays, settings,
+                               jax.random.fold_in(key, s // chunk),
+                               tables=tables, punctual=punctual,
+                               trace_fn=trace_fn,
+                               visibility_fn=visibility_fn,
+                               primary_interaction=sub_primary))
+    return jnp.concatenate(parts, axis=0)
 
 
 def accumulate(prev, cur, frame):
