@@ -221,6 +221,7 @@ def load_scene_from_config(cfg, base_dir: str = "."):
     from pathtracer_gaussiansplatting_tpu.utils.config import load_rtbox_config
 
     parts = []
+    gltf_lights = []
     for obj in cfg.objects:
         model = obj.model
         if model.startswith("builtin:"):
@@ -236,6 +237,16 @@ def load_scene_from_config(cfg, base_dir: str = "."):
                 s = debug_cube_scene(size=float(params.get("size", 1.0)))
             else:
                 raise ValueError(f"unknown builtin scene '{name}'")
+        elif model.endswith((".gltf", ".glb")):
+            from pathtracer_gaussiansplatting_tpu.data.gltf import (
+                load_gltf_scene,
+            )
+
+            path = model if os.path.isabs(model) else os.path.join(base_dir,
+                                                                   model)
+            s, obj_lights = load_gltf_scene(path)
+            if obj_lights is not None:
+                gltf_lights.append(obj_lights)
         else:
             path = model if os.path.isabs(model) else os.path.join(base_dir, model)
             s = load_3dgs_ply(path)
@@ -249,10 +260,23 @@ def load_scene_from_config(cfg, base_dir: str = "."):
         raise ValueError("scene config contains no objects")
     scene = concat_scenes(parts)
 
-    punctual = None
+    # merge punctual lights: sun (engine.cpp:1225-1239) + glTF
+    # KHR_lights_punctual (gameobject.cpp:798-851). NOTE: glTF light
+    # positions are not re-transformed by the object transform (matches the
+    # reference, which bakes transforms into vertices but reads lights in
+    # model space before baking).
+    all_lights = list(gltf_lights)
     if cfg.sun is not None:
-        punctual = make_punctual_lights(
+        all_lights.append(make_punctual_lights(
             direction=[list(cfg.sun.direction)],
             color=[list(cfg.sun.color)],
-            intensity=[cfg.sun.intensity], light_type=[1], num=1)
+            intensity=[cfg.sun.intensity], light_type=[1], num=1))
+    punctual = None
+    if all_lights:
+        punctual = PunctualLights(**{
+            f: jnp.concatenate([getattr(l, f) for l in all_lights])
+            for f in ("position", "direction", "color", "intensity",
+                      "light_type", "range", "inner_cone_cos",
+                      "outer_cone_cos")
+        })
     return scene, punctual
