@@ -49,6 +49,12 @@ class GaussianScene:
       metallic:       (N,)  float32 — lobe-selection weight (reference
                       closesthit.rchit prob_specular = mix(0.04, 1, metallic)).
       roughness:      (N,)  float32 — GGX roughness of the specular lobe.
+      clearcoat:      (N,)  float32 — clearcoat layer strength (reference
+                      KHR_materials_clearcoat, closesthit.rchit:540-577).
+      clearcoat_roughness: (N,) float32 — GGX roughness of the clearcoat lobe.
+      transmission:   (N,)  float32 — glass probability; rays scattering off
+                      this Gaussian take the Fresnel reflect/refract path with
+                      probability = transmission (closesthit.rchit:503-531).
     """
 
     means: Array
@@ -59,6 +65,9 @@ class GaussianScene:
     emission: Array
     metallic: Array
     roughness: Array
+    clearcoat: Array
+    clearcoat_roughness: Array
+    transmission: Array
 
     @property
     def num_gaussians(self) -> int:
@@ -93,6 +102,9 @@ def make_scene(
     emission=None,
     metallic=None,
     roughness=None,
+    clearcoat=None,
+    clearcoat_roughness=None,
+    transmission=None,
     colors=None,
     sh_degree: int = 0,
 ) -> GaussianScene:
@@ -123,6 +135,13 @@ def make_scene(
         metallic=zeros if metallic is None else jnp.asarray(metallic, jnp.float32),
         roughness=(jnp.full((n,), 0.8, jnp.float32) if roughness is None
                    else jnp.asarray(roughness, jnp.float32)),
+        clearcoat=(zeros if clearcoat is None
+                   else jnp.asarray(clearcoat, jnp.float32)),
+        clearcoat_roughness=(
+            jnp.full((n,), 0.03, jnp.float32) if clearcoat_roughness is None
+            else jnp.asarray(clearcoat_roughness, jnp.float32)),
+        transmission=(zeros if transmission is None
+                      else jnp.asarray(transmission, jnp.float32)),
     )
 
 
@@ -208,6 +227,10 @@ class RenderSettings:
     """
 
     max_depth: int = 4
+    opaque_depth: int = 0  # adaptive depth cap for non-glass first hits
+    # (raygen_camera.rgen:59-64: opaque first hit -> 4 bounces, glass -> 12);
+    # 0 disables the cap (all rays run max_depth).
+    glass_ior: float = 1.01  # refraction IOR (closesthit.rchit:517)
     firefly_clamp: float = 5.0
     rr_start_depth: int = 4
     rr_min: float = 0.05

@@ -132,15 +132,43 @@ def parse_gltf(path: str) -> dict:
         mi = prim.get("material")
         mat = materials[mi] if mi is not None else {}
         pbr = mat.get("pbrMetallicRoughness", {})
+        ext = mat.get("extensions", {})
         base = np.asarray(pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32)
+        metallic = float(pbr.get("metallicFactor", 1.0))
+        roughness = float(pbr.get("roughnessFactor", 1.0))
+
+        # KHR_materials_pbrSpecularGlossiness (the reference shades this
+        # workflow natively, closesthit.rchit:396-410: F0=specularFactor,
+        # roughness=sqrt(1-glossiness), metallic=0; per-Gaussian SoA carries
+        # scalar metal-rough channels, so we apply the standard SG->MR
+        # conversion: metallic from specular brightness, diffuse as albedo).
+        sg = ext.get("KHR_materials_pbrSpecularGlossiness")
+        if sg is not None:
+            diffuse = np.asarray(sg.get("diffuseFactor", [1, 1, 1, 1]),
+                                 np.float32)
+            spec = np.asarray(sg.get("specularFactor", [1, 1, 1]), np.float32)
+            gloss = float(sg.get("glossinessFactor", 1.0))
+            metallic = float(np.clip((spec.max() - 0.04) / (1.0 - 0.04),
+                                     0.0, 1.0))
+            base = np.append(
+                diffuse[:3] * (1.0 - metallic)
+                + spec * metallic, diffuse[3]).astype(np.float32)
+            roughness = float(np.sqrt(max(1.0 - gloss, 0.04)))
+
         emissive = np.asarray(mat.get("emissiveFactor", [0, 0, 0]), np.float32)
-        strength = mat.get("extensions", {}).get(
+        strength = ext.get(
             "KHR_materials_emissive_strength", {}).get("emissiveStrength", 1.0)
+        cc = ext.get("KHR_materials_clearcoat", {})
+        tr = ext.get("KHR_materials_transmission", {})
         return dict(
             base_color=base,
-            metallic=float(pbr.get("metallicFactor", 1.0)),
-            roughness=float(pbr.get("roughnessFactor", 1.0)),
+            metallic=metallic,
+            roughness=roughness,
             emissive=emissive * strength,
+            clearcoat=float(cc.get("clearcoatFactor", 0.0)),
+            clearcoat_roughness=float(
+                cc.get("clearcoatRoughnessFactor", 0.0)),
+            transmission=float(tr.get("transmissionFactor", 0.0)),
         )
 
     def walk(node_idx: int, parent: np.ndarray):
@@ -283,7 +311,13 @@ def load_gltf_scene(path: str, surfels_per_unit_area: float = 200.0,
             opacity_logits=np.full(m, opacity_logit, np.float32),
             colors=color, emission=emissive,
             metallic=np.full(m, prim["metallic"], np.float32),
-            roughness=np.full(m, prim["roughness"], np.float32)))
+            roughness=np.full(m, prim["roughness"], np.float32),
+            clearcoat=np.full(m, prim.get("clearcoat", 0.0), np.float32),
+            clearcoat_roughness=np.full(
+                m, max(prim.get("clearcoat_roughness", 0.0), 0.03),
+                np.float32),
+            transmission=np.full(m, prim.get("transmission", 0.0),
+                                 np.float32)))
     if not parts:
         raise ValueError(f"no geometry in {path}")
     scene = concat_scenes(parts)

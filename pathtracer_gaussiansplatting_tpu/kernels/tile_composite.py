@@ -19,8 +19,11 @@ The packet layout is built once per frame by :func:`build_tile_packets` from
 the binning tables (ops/binning.py) — a pure gather, done by XLA.
 
 The public entry :func:`tile_composite` carries a custom VJP whose backward
-recomputes through the pure-JAX reference (kernels are allclose-tested
-against render/tiled.tile_composite_reference semantics in interpret mode).
+is a second fused Pallas kernel (:func:`_composite_bwd_math`): it recomputes
+the forward per tile in VMEM and applies the analytic compositing VJP
+(suffix-sum form), so no (T,P,K)-sized residual ever lands in HBM. Both
+kernels are allclose-tested against the pure-JAX reference semantics
+(render/tiled.tile_composite_reference) and its jax.vjp in interpret mode.
 """
 from __future__ import annotations
 
@@ -190,6 +193,162 @@ def _tile_composite_pallas(packets, dirs, settings: RenderSettings,
     return out, acc[..., 0], depth[..., 0]
 
 
+def _suffix_sum_last(x):
+    """Inclusive suffix sum along the last axis (reverse Hillis-Steele)."""
+    k = x.shape[-1]
+    zeros = jnp.zeros_like(x)
+    shift = 1
+    while shift < k:
+        shifted = jnp.concatenate(
+            [x[..., shift:], zeros[..., :shift]], axis=-1)
+        x = x + shifted
+        shift *= 2
+    return x
+
+
+def _composite_bwd_math(dq, d3, q6, wb, c, opac, feats, go, ga, gd,
+                        settings: RenderSettings):
+    """Analytic per-tile backward of :func:`_composite_math`.
+
+    Recomputes the forward in-register (VMEM) — no residuals ever touch HBM,
+    which is the whole point vs the autodiff path (a (T,P,K) residual at
+    2500 tiles x 256 px x 256 K is ~650 MB *per intermediate*).
+
+    Key identities:
+      * envelope: at the peak t* = -b/a, dq/dt = 2(at+b) = 0, so
+        d_qv/da = t^2 and d_qv/db = 2t with no dt-chain; the dt-chain only
+        matters for the depth output and for clipped t (where dt/da = 0).
+      * compositing: w_k = alpha_k exp(e_k), e_k = sum_{j<k} log(1-alpha_j)
+        so d_log_om_j = suffix_{k>j}(d_e_k), one reverse scan.
+
+    Args mirror _composite_math plus cotangents go (P,F), ga (P,), gd (P,).
+    Returns (d_dirs (P,3), d_q6, d_wb, d_c, d_opac, d_feats).
+    """
+    hi = jax.lax.Precision.HIGHEST
+
+    def dot(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32, precision=hi)
+
+    # ---- forward recompute ----
+    a = jnp.maximum(dot(dq, q6), 1e-12)                        # (P,K)
+    b = dot(d3, wb)                                            # (P,K)
+    t_raw = -b / a
+    t = jnp.clip(t_raw, settings.t_min, settings.t_max)
+    t_in = (t_raw > settings.t_min) & (t_raw < settings.t_max)
+    qv = a * t * t + 2.0 * b * t + c[None, :]
+    gval = jnp.exp(-0.5 * jnp.maximum(qv, 0.0))
+    alpha0 = opac[None, :] * gval
+    cut = jnp.exp(-0.5 * settings.sigma_cut * settings.sigma_cut)
+    live = (gval >= cut) & (alpha0 >= settings.alpha_min)
+    alpha = jnp.where(live, jnp.minimum(alpha0, settings.alpha_max), 0.0)
+    log_om = jnp.log1p(-alpha)
+    cum = _cumsum_last(log_om)
+    t_excl = jnp.exp(cum - log_om)
+    w = t_excl * alpha                                         # (P,K)
+    t_last = jnp.exp(cum[:, -1:])                              # (P,1)
+    alpha_acc = 1.0 - t_last[:, 0]
+    denom = jnp.maximum(alpha_acc, 1e-8)
+    s_depth = jnp.sum(w * t, axis=-1)
+
+    # ---- backward ----
+    d_feats = dot(w.T, go)                                     # (K,F)
+    d_w = dot(go, feats.T)                                     # (P,K)
+    d_s = gd / denom                                           # (P,)
+    live_acc = alpha_acc > 1e-8
+    d_alpha_acc = ga + jnp.where(
+        live_acc, -gd * s_depth / (denom * denom), 0.0)
+    d_w = d_w + d_s[:, None] * t
+    d_t = d_s[:, None] * w                                     # depth chain
+    d_alpha = d_w * t_excl
+    d_e = d_w * w
+    # e_k = cum_k - log_om_k: d_log_om_j = sum_{k>j} d_e_k (strict suffix).
+    suf = _suffix_sum_last(d_e)
+    k = d_e.shape[-1]
+    d_log_om = jnp.concatenate(
+        [suf[..., 1:], jnp.zeros_like(suf[..., :1])], axis=-1)
+    # alpha_acc = 1 - exp(sum_k log_om_k): every k gets -d_alpha_acc*T_last.
+    d_log_om = d_log_om - (d_alpha_acc[:, None] * t_last)
+    d_alpha = d_alpha - d_log_om / jnp.maximum(1.0 - alpha, 1e-6)
+    grad_live = live & (alpha0 <= settings.alpha_max)
+    d_alpha0 = jnp.where(grad_live, d_alpha, 0.0)
+    d_opac = jnp.sum(d_alpha0 * gval, axis=0)                  # (K,)
+    d_g = d_alpha0 * opac[None, :]
+    d_qv = jnp.where(qv > 0.0, -0.5 * d_g * gval, 0.0)
+    # qv chain: dt picks up 2(at+b) (zero at the interior peak, nonzero at
+    # clipped t); a/b/c get the direct partials.
+    d_t = d_t + d_qv * 2.0 * (a * t + b)
+    d_a = d_qv * t * t + jnp.where(t_in, d_t * (b / (a * a)), 0.0)
+    d_b = d_qv * 2.0 * t + jnp.where(t_in, -d_t / a, 0.0)
+    d_c = jnp.sum(d_qv, axis=0)                                # (K,)
+    d_q6 = dot(dq.T, d_a)                                      # (6,K)
+    d_wb = dot(d3.T, d_b)                                      # (3,K)
+    d_dq = dot(d_a, q6.T)                                      # (P,6)
+    d_d3 = dot(d_b, wb.T)                                      # (P,3)
+    # dq basis chain: dq = [dx2, dy2, dz2, dxdy, dxdz, dydz].
+    dx, dy, dz = d3[:, 0], d3[:, 1], d3[:, 2]
+    d_dirs = jnp.stack([
+        2.0 * dx * d_dq[:, 0] + dy * d_dq[:, 3] + dz * d_dq[:, 4],
+        2.0 * dy * d_dq[:, 1] + dx * d_dq[:, 3] + dz * d_dq[:, 5],
+        2.0 * dz * d_dq[:, 2] + dx * d_dq[:, 4] + dy * d_dq[:, 5],
+    ], axis=-1) + d_d3
+    return d_dirs, d_q6, d_wb, d_c, d_opac, d_feats
+
+
+def _bwd_kernel(dq_ref, d3_ref, q6_ref, wb_ref, c_ref, opac_ref, feats_ref,
+                go_ref, ga_ref, gd_ref,
+                ddirs_ref, dq6_ref, dwb_ref, dc_ref, dopac_ref, dfeats_ref,
+                *, settings):
+    d_dirs, d_q6, d_wb, d_c, d_opac, d_feats = _composite_bwd_math(
+        dq_ref[0], d3_ref[0], q6_ref[0], wb_ref[0], c_ref[0, 0],
+        opac_ref[0, 0], feats_ref[0], go_ref[0], ga_ref[0][:, 0],
+        gd_ref[0][:, 0], settings)
+    ddirs_ref[0] = d_dirs
+    dq6_ref[0] = d_q6
+    dwb_ref[0] = d_wb
+    dc_ref[0] = d_c[None, :]
+    dopac_ref[0] = d_opac[None, :]
+    dfeats_ref[0] = d_feats
+
+
+def _tile_composite_bwd_pallas(packets, dirs, cot, settings: RenderSettings,
+                               interpret: bool = False):
+    interpret = interpret or jax.default_backend() == "cpu"
+    go, ga, gd = cot
+    t_total, k = packets["c"].shape
+    p = dirs.shape[1]
+    f = packets["feats"].shape[-1]
+    dq = _dir_basis(dirs)
+
+    def spec(block):
+        return pl.BlockSpec((1,) + block, lambda i: (i,) + (0,) * len(block),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_bwd_kernel, settings=settings)
+    d_dirs, d_q6, d_wb, d_c, d_opac, d_feats = pl.pallas_call(
+        kernel,
+        grid=(t_total,),
+        in_specs=[spec((p, 6)), spec((p, 3)), spec((6, k)), spec((3, k)),
+                  spec((1, k)), spec((1, k)), spec((k, f)),
+                  spec((p, f)), spec((p, 1)), spec((p, 1))],
+        out_specs=[spec((p, 3)), spec((6, k)), spec((3, k)), spec((1, k)),
+                   spec((1, k)), spec((k, f))],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, 6, k), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, 3, k), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, 1, k), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, 1, k), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, k, f), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dq, dirs, packets["q6"], packets["wb"], packets["c"][:, None, :],
+      packets["opac"][:, None, :], packets["feats"],
+      go, ga[..., None], gd[..., None])
+    d_packets = dict(q6=d_q6, wb=d_wb, c=d_c[:, 0, :], opac=d_opac[:, 0, :],
+                     feats=d_feats)
+    return d_packets, d_dirs
+
+
 def _tile_composite_xla(packets, dirs, settings: RenderSettings):
     """Reference semantics as vmapped XLA (ground truth for the kernel,
     and the recompute path for the backward)."""
@@ -219,9 +378,8 @@ def _tc_fwd(packets, dirs, settings, interpret):
 
 def _tc_bwd(settings, interpret, res, cot):
     packets, dirs = res
-    _, vjp = jax.vjp(
-        lambda p, d: _tile_composite_xla(p, d, settings), packets, dirs)
-    return vjp(cot)
+    return _tile_composite_bwd_pallas(packets, dirs, cot, settings,
+                                      interpret)
 
 
 tile_composite.defvjp(_tc_fwd, _tc_bwd)

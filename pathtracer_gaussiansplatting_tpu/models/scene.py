@@ -53,6 +53,10 @@ def concat_scenes(scenes: Sequence[GaussianScene]) -> GaussianScene:
         emission=jnp.concatenate([s.emission for s in scenes]),
         metallic=jnp.concatenate([s.metallic for s in scenes]),
         roughness=jnp.concatenate([s.roughness for s in scenes]),
+        clearcoat=jnp.concatenate([s.clearcoat for s in scenes]),
+        clearcoat_roughness=jnp.concatenate(
+            [s.clearcoat_roughness for s in scenes]),
+        transmission=jnp.concatenate([s.transmission for s in scenes]),
     )
 
 

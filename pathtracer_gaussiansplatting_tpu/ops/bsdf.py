@@ -14,7 +14,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
+from pathtracer_gaussiansplatting_tpu.ops.safe_math import (
+    safe_normalize, safe_sqrt,
+)
 
 PI = jnp.pi
 
@@ -45,8 +47,8 @@ def sample_ggx_half(u, n, roughness):
     """Sample a GGX half-vector about n (classic NDF sampling)."""
     a2 = jnp.maximum(roughness, 1e-3) ** 4  # alpha = rough^2; a2 = alpha^2
     cos2 = (1.0 - u[..., 0]) / (1.0 + (a2 - 1.0) * u[..., 0] + 1e-12)
-    cos_t = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos2, 0.0))
+    cos_t = safe_sqrt(jnp.clip(cos2, 0.0, 1.0))
+    sin_t = safe_sqrt(1.0 - cos2)
     phi = 2.0 * PI * u[..., 1]
     t, b = orthonormal_basis(n)
     return (sin_t * jnp.cos(phi))[..., None] * t \
@@ -99,6 +101,8 @@ def f0_of(albedo, metallic):
 def eval_bsdf(n, v, l, albedo, metallic, roughness):
     """BRDF * NdotL for NEE (diffuse + specular; matches sampleLights path).
 
+    The diffuse lobe uses albedo * (1 - metallic) — the reference attenuates
+    the diffuse albedo for metals up front (closesthit.rchit:423).
     Returns (..., 3).
     """
     n_dot_l = jnp.maximum(jnp.sum(n * l, -1), 0.0)
@@ -111,7 +115,7 @@ def eval_bsdf(n, v, l, albedo, metallic, roughness):
     fr = f_schlick(jnp.maximum(jnp.sum(h * v, -1), 0.0)[..., None], f0)
     specular = (ndf * vis)[..., None] * fr
     kd = 1.0 - fr
-    diffuse = kd * albedo / PI
+    diffuse = kd * albedo * (1.0 - metallic[..., None]) / PI
     return (diffuse + specular) * n_dot_l[..., None]
 
 
@@ -133,6 +137,11 @@ def sample_bsdf(u_lobe, u_dir, n, v, albedo, metallic, roughness):
       valid (l in upper hemisphere).
     """
     p_spec = specular_prob(n, v, metallic)
+    # Detached-sampling estimator: the selection probability is
+    # stop_gradient'ed so weights stay f/p with p constant — pathwise
+    # gradients of the numerator (Fresnel, albedo, ...) stay unbiased and
+    # don't pick up spurious d(1/p) terms.
+    p_spec = jax.lax.stop_gradient(p_spec)
     take_spec = u_lobe < p_spec
 
     # Specular branch.
@@ -151,9 +160,11 @@ def sample_bsdf(u_lobe, u_dir, n, v, albedo, metallic, roughness):
                    / jnp.maximum(n_dot_h, 1e-4))[..., None]
     w_spec = w_spec / jnp.maximum(p_spec, 1e-3)[..., None]
 
-    # Diffuse branch: weight = albedo / (1 - p_spec) (cosine pdf cancels).
+    # Diffuse branch: weight = albedo*(1-metallic) / (1 - p_spec) (cosine pdf
+    # cancels; metal diffuse attenuation per closesthit.rchit:423).
     l_diff = cosine_hemisphere(u_dir, n)
-    w_diff = albedo / jnp.maximum(1.0 - p_spec, 1e-3)[..., None]
+    w_diff = albedo * (1.0 - metallic[..., None]) \
+        / jnp.maximum(1.0 - p_spec, 1e-3)[..., None]
 
     l = jnp.where(take_spec[..., None], l_spec, l_diff)
     w = jnp.where(take_spec[..., None], w_spec, w_diff)
@@ -163,3 +174,97 @@ def sample_bsdf(u_lobe, u_dir, n, v, albedo, metallic, roughness):
     pdf = mixture_pdf(n, v, l, metallic, roughness)
     pdf = jnp.where(valid, pdf, 0.0)
     return dict(direction=l, weight=w, pdf=pdf, valid=valid)
+
+
+def sample_clearcoated(u_cc, u_lobe, u_dir, n, v, albedo, metallic, roughness,
+                       clearcoat, cc_roughness):
+    """Scatter off the base BSDF under a clearcoat layer, branch-free.
+
+    Behavioral port of closesthit.rchit:540-620:
+      * F_cc_view = Schlick(NdotV, 0.04) * clearcoat; cc_prob = max-component.
+      * With prob cc_prob: sample the clearcoat GGX lobe (white F0=0.04
+        specular scaled by clearcoat); weight = F*Vis*4*NdotL*VdotH/NdotH
+        / cc_prob; pdf = cc_prob*pdf_cc + (1-cc_prob)*pdf_base.
+      * Else: base lobes attenuated by (1 - F_cc_view)/(1 - cc_prob)
+        (energy passing through the coat), pdf scaled by (1-cc_prob).
+    """
+    n_dot_v = jnp.maximum(jnp.sum(n * v, -1), 0.0)
+    f_cc_view = f_schlick(n_dot_v, 0.04) * clearcoat       # (...,) grayscale
+    # Selection probability is detached (see sample_bsdf) so clearcoat keeps
+    # a pathwise gradient through f_cc / (1 - f_cc_view).
+    cc_prob = jax.lax.stop_gradient(jnp.clip(f_cc_view, 0.0, 1.0))
+    take_cc = (clearcoat > 0.0) & (u_cc < cc_prob)
+
+    # Clearcoat lobe.
+    ccr = jnp.maximum(cc_roughness, 1e-3)
+    h_cc = sample_ggx_half(u_dir, n, ccr)
+    l_cc = 2.0 * jnp.sum(v * h_cc, -1, keepdims=True) * h_cc - v
+    n_dot_l = jnp.maximum(jnp.sum(n * l_cc, -1), 0.0)
+    n_dot_h = jnp.maximum(jnp.sum(n * h_cc, -1), 0.0)
+    v_dot_h = jnp.maximum(jnp.sum(v * h_cc, -1), 0.0)
+    f_cc = f_schlick(v_dot_h, 0.04) * clearcoat
+    vis = v_smith_ggx_fast(n_dot_v, n_dot_l, ccr)
+    w_cc = f_cc * vis * 4.0 * n_dot_l * v_dot_h / jnp.maximum(n_dot_h, 1e-4)
+    w_cc = (w_cc / jnp.maximum(cc_prob, 1e-3))[..., None] * jnp.ones(3)
+    pdf_cc = pdf_ggx(n, v, l_cc, ccr)
+    pdf_cc_total = (cc_prob * pdf_cc
+                    + (1.0 - cc_prob) * mixture_pdf(n, v, l_cc, metallic,
+                                                    roughness))
+    valid_cc = n_dot_l > 1e-4
+
+    # Base path through the coat.
+    base = sample_bsdf(u_lobe, u_dir, n, v, albedo, metallic, roughness)
+    atten = ((1.0 - f_cc_view)
+             / jnp.maximum(1.0 - cc_prob, 1e-3))[..., None]
+    w_base = base["weight"] * atten
+    pdf_base = base["pdf"] * (1.0 - cc_prob)
+
+    take = take_cc[..., None]
+    return dict(
+        direction=jnp.where(take, l_cc, base["direction"]),
+        weight=jnp.where(take, w_cc, w_base),
+        pdf=jnp.where(take_cc, pdf_cc_total, pdf_base),
+        valid=jnp.where(take_cc, valid_cc, base["valid"]),
+    )
+
+
+def refract(d, n, eta):
+    """Refract incident direction d (pointing into the surface) about unit
+    normal n with relative IOR eta. Returns (dir, tir) — on total internal
+    reflection dir is the zero vector and tir is True (GLSL refract
+    semantics, closesthit.rchit:518-520)."""
+    cos_i = -jnp.sum(d * n, -1, keepdims=True)
+    sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = sin2_t[..., 0] > 1.0
+    cos_t = safe_sqrt(1.0 - sin2_t)
+    out = eta * d + (eta * cos_i - cos_t) * n
+    return jnp.where(tir[..., None], 0.0, out), tir
+
+
+def sample_glass(u_reflect, n, v, albedo, metallic, ior):
+    """Fresnel-weighted reflect-vs-refract (closesthit.rchit:503-531).
+
+    The surfel normal is viewer-faced, so rays always 'enter'; eta = 1/ior.
+    Reflection weight is 1 (prob = max-component Fresnel, the reference's
+    estimator); refraction is tinted by albedo; TIR falls back to reflection.
+    Returns dict(direction, weight, offset_sign) — pdf is 0 (delta lobes,
+    payload.last_bsdf_pdf = 0.0 at :530) and MIS at the next emitter hit is
+    disabled by the caller.
+    """
+    f0 = f0_of(albedo, metallic)
+    cos_i = jnp.abs(jnp.sum(n * v, -1))
+    fr = f_schlick(cos_i[..., None], f0)
+    prob_reflect = jax.lax.stop_gradient(jnp.max(fr, axis=-1))
+    take_reflect = u_reflect < prob_reflect
+
+    l_refl = 2.0 * jnp.sum(n * v, -1, keepdims=True) * n - v
+    l_refr, tir = refract(-v, n, 1.0 / ior)
+    take_reflect = take_reflect | tir
+
+    take = take_reflect[..., None]
+    direction = jnp.where(take, l_refl, l_refr)
+    weight = jnp.where(take, jnp.ones_like(albedo), albedo)
+    # Reflected rays restart just above the surface (+n), refracted just
+    # below (-n) (closesthit.rchit:507,512).
+    offset_sign = jnp.where(take_reflect, 1.0, -1.0)
+    return dict(direction=direction, weight=weight, offset_sign=offset_sign)

@@ -16,3 +16,9 @@ def safe_norm(x, axis=-1, keepdims=False, eps=1e-12):
 
 def safe_normalize(x, axis=-1, eps=1e-12):
     return x / safe_norm(x, axis=axis, keepdims=True, eps=eps)
+
+
+def safe_sqrt(x, eps=1e-12):
+    """sqrt clamped away from 0 — d(sqrt)/dx at 0 is inf, and inf * 0 from a
+    zero chain-rule factor is NaN (the masked-lane trap)."""
+    return jnp.sqrt(jnp.maximum(x, eps))

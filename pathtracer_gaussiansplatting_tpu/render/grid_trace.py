@@ -219,6 +219,9 @@ def trace_grid(scene: GaussianScene, rays: Rays, settings: RenderSettings,
         depth=wsum(t) / denom[..., 0],
         metallic=wsum(scene.metallic[idx]) / denom[..., 0],
         roughness=wsum(scene.roughness[idx]) / denom[..., 0],
+        clearcoat=wsum(scene.clearcoat[idx]) / denom[..., 0],
+        cc_roughness=wsum(scene.clearcoat_roughness[idx]) / denom[..., 0],
+        transmission=wsum(scene.transmission[idx]) / denom[..., 0],
         alpha_acc=alpha_acc,
         trans=trans,
         hit=alpha_acc > settings.hit_opacity_threshold,

@@ -43,8 +43,14 @@ from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_norm
 
 
 def _nee(key, d, scene, tables, punctual, inter, view, settings,
-         visibility_fn):
-    """One next-event-estimation sample per ray. Returns (R, 3) radiance."""
+         visibility_fn, use_nee=None):
+    """One next-event-estimation sample per ray. Returns (R, 3) radiance.
+
+    ``use_nee`` (R,) bool gates the emissive-light strategy per ray —
+    the reference skips NEE on glass / mirror-smooth hits
+    (closesthit.rchit:449: use_nee = transmission==0 && roughness>0.001);
+    punctual lights are still sampled but attenuated by (1 - transmission).
+    """
     r = view.shape[0]
     pos = inter["position"]
     n = inter["normal"]
@@ -82,6 +88,8 @@ def _nee(key, d, scene, tables, punctual, inter, view, settings,
     e_contrib = jnp.where(ok[:, None], e_contrib, 0.0)
     e_contrib = e_contrib / jnp.maximum(tables.p_emissive, 1e-3)
     has_e = tables.emissive_flux > 0
+    if use_nee is not None:
+        e_contrib = jnp.where(use_nee[:, None], e_contrib, 0.0)
     contrib += jnp.where(take_emissive[:, None] & has_e, e_contrib, 0.0)
 
     # --- Punctual NEE (closesthit.rchit samplePunctualLights) ---
@@ -93,6 +101,8 @@ def _nee(key, d, scene, tables, punctual, inter, view, settings,
         vis_p = visibility_fn(pos + n * eps, pl["direction"],
                               pl["dist"] - 2 * eps)
         p_contrib = brdf_p * pl["radiance"] * (vis_p * pl["inv_prob"])[:, None]
+        p_contrib = p_contrib * jnp.clip(
+            1.0 - inter["transmission"], 0.0, 1.0)[:, None]
         p_contrib = jnp.where((n_dot_lp > 1e-3)[:, None], p_contrib, 0.0)
         p_punct = jnp.maximum(1.0 - tables.p_emissive, 1e-3)
         p_contrib = p_contrib / jnp.where(has_e, p_punct, 1.0)
@@ -137,6 +147,7 @@ def pathtrace(scene: GaussianScene, rays: Rays,
     radiance = jnp.zeros((r, 3))
     alive = jnp.ones((r,), bool)
     last_pdf = jnp.zeros((r,))
+    glass_first = jnp.zeros((r,), bool)
 
     for d in range(settings.max_depth):
         dkey = jax.random.fold_in(key, d)
@@ -153,6 +164,16 @@ def pathtrace(scene: GaussianScene, rays: Rays,
 
         # Emitted radiance with MIS against the previous BSDF pdf
         # (closesthit.rchit:451-466). Depth 0 / pure-BSDF hits add fully.
+        # NEE applicability at this hit (closesthit.rchit:449): glass and
+        # mirror-smooth surfaces never get light samples, so an emitter seen
+        # through/after them adds fully (no MIS down-weight).
+        use_nee_hit = (inter["transmission"] < 1e-3) \
+            & (inter["roughness"] > 1e-3)
+        if d == 0:
+            # hit_flag = 2.0 GLASS analog (closesthit.rchit:504) drives the
+            # adaptive depth cap (raygen_camera.rgen:59-64).
+            glass_first = inter["transmission"] > 0.05
+
         emitted = inter["radiance_emitted"]
         strength = safe_norm(emitted, axis=-1) / jnp.maximum(alpha, 1e-6)
         cos_l = jnp.abs(jnp.sum(inter["normal"] * dirs, -1))
@@ -162,7 +183,7 @@ def pathtrace(scene: GaussianScene, rays: Rays,
         pdf_nee_hit = pdf_nee_hit * jnp.where(
             tables.punctual_flux > 0, tables.p_emissive, 1.0)
         mis_e = jnp.where(
-            (last_pdf > 0) & jnp.asarray(settings.nee),
+            (last_pdf > 0) & use_nee_hit & jnp.asarray(settings.nee),
             lights_mod.power2_mis(last_pdf, pdf_nee_hit), 1.0)
         radiance += jnp.where(alive[:, None],
                               throughput * emitted * mis_e[:, None], 0.0)
@@ -171,7 +192,7 @@ def pathtrace(scene: GaussianScene, rays: Rays,
         view = -dirs
         if settings.nee:
             nee_li = _nee(dkey, d, scene, tables, punctual, inter, view,
-                          settings, visibility_fn)
+                          settings, visibility_fn, use_nee=use_nee_hit)
             radiance += jnp.where(alive[:, None],
                                   throughput * alpha[:, None] * nee_li, 0.0)
 
@@ -180,22 +201,53 @@ def pathtrace(scene: GaussianScene, rays: Rays,
         if d + 1 == settings.max_depth:
             break
 
-        # Scatter (closesthit.rchit opaque path).
+        # Scatter: glass (Fresnel reflect/refract, closesthit.rchit:503-531)
+        # vs opaque clearcoat-over-base (closesthit.rchit:540-620), selected
+        # stochastically per ray — branch-free, all lobes evaluated.
         alpha_safe = jnp.maximum(alpha, 1e-8)
         albedo_hat = inter["albedo"] / alpha_safe[:, None]
+        rough_hat = jnp.maximum(inter["roughness"], 1e-3)
         u_lobe = rng_mod.ray_uniform(dkey, r, 13)[:, 0]
         u_dir = rng_mod.ray_uniform(dkey, r, 14, 2)
-        scat = bsdf_mod.sample_bsdf(u_lobe, u_dir, inter["normal"], view,
-                                    albedo_hat, inter["metallic"],
-                                    jnp.maximum(inter["roughness"], 1e-3))
-        throughput = throughput * alpha[:, None] * scat["weight"]
-        last_pdf = scat["pdf"]
-        origins = inter["position"] + inter["normal"] * settings.shadow_eps
-        dirs = scat["direction"]
+        u_cc = rng_mod.ray_uniform(dkey, r, 12)[:, 0]
+        u_glass = rng_mod.ray_uniform(dkey, r, 15)[:, 0]
+        u_reflect = rng_mod.ray_uniform(dkey, r, 11)[:, 0]
+        scat = bsdf_mod.sample_clearcoated(
+            u_cc, u_lobe, u_dir, inter["normal"], view, albedo_hat,
+            inter["metallic"], rough_hat, inter["clearcoat"],
+            inter["cc_roughness"])
+        glass = bsdf_mod.sample_glass(u_reflect, inter["normal"], view,
+                                      albedo_hat, inter["metallic"],
+                                      settings.glass_ior)
+        # Detached-sampling selection: pick glass-vs-opaque with the detached
+        # probability but reweight by the continuous transmission so its
+        # pathwise gradient survives (forward value is unchanged: both
+        # ratios are exactly 1).
+        t_hat = jnp.clip(inter["transmission"], 0.0, 1.0)
+        p_g = jax.lax.stop_gradient(t_hat)
+        take_glass = u_glass < p_g
+        tg = take_glass[:, None]
+        direction = jnp.where(tg, glass["direction"], scat["direction"])
+        w_glass = glass["weight"] * (t_hat / jnp.maximum(p_g, 1e-6))[:, None]
+        w_base = scat["weight"] \
+            * ((1.0 - t_hat) / jnp.maximum(1.0 - p_g, 1e-6))[:, None]
+        weight = jnp.where(tg, w_glass, w_base)
+        # Delta lobes carry no pdf (payload.last_bsdf_pdf = 0, rchit:530).
+        last_pdf = jnp.where(take_glass, 0.0, scat["pdf"])
+        valid = jnp.where(take_glass, True, scat["valid"])
+        offset = jnp.where(take_glass, glass["offset_sign"], 1.0) \
+            * settings.shadow_eps
+        throughput = throughput * alpha[:, None] * weight
+        origins = inter["position"] + inter["normal"] * offset[:, None]
+        dirs = direction
 
         max_t = jnp.max(throughput, -1)
-        alive = alive & scat["valid"] & (alpha > 1e-4) \
+        alive = alive & valid & (alpha > 1e-4) \
             & (max_t > settings.min_throughput)
+        if settings.opaque_depth and d + 1 >= settings.opaque_depth:
+            # Opaque first hits stop at opaque_depth; glass paths keep going
+            # to max_depth (raygen_camera.rgen:59-64 adaptive depth 12->4).
+            alive = alive & glass_first
 
         # Russian roulette (raygen_camera.rgen:73-77).
         if d + 1 >= settings.rr_start_depth:
@@ -213,8 +265,9 @@ def interaction_from_tiles(out, rays: Rays, settings: RenderSettings):
     """Convert render_prepared output into a trace_dense-style interaction.
 
     Tile feature channels (render/tiled._packet_features): rgb(3) emission(3)
-    metallic(1) roughness(1) normal(3), all alpha-weighted sums; intrinsic
-    properties are re-normalized by accumulated alpha like trace_dense.
+    metallic(1) roughness(1) normal(3) clearcoat(1) cc_roughness(1)
+    transmission(1), all alpha-weighted sums; intrinsic properties are
+    re-normalized by accumulated alpha like trace_dense.
     """
     from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
 
@@ -233,6 +286,9 @@ def interaction_from_tiles(out, rays: Rays, settings: RenderSettings):
         depth=depth,
         metallic=feats[:, 6] / denom,
         roughness=feats[:, 7] / denom,
+        clearcoat=feats[:, 11] / denom,
+        cc_roughness=feats[:, 12] / denom,
+        transmission=feats[:, 13] / denom,
         alpha_acc=alpha,
         trans=1.0 - alpha,
         hit=alpha > settings.hit_opacity_threshold,

@@ -81,6 +81,9 @@ def _gather_features(scene: GaussianScene, rays: Rays, idx, t, settings):
         normal=normal,
         metallic=scene.metallic[idx],
         roughness=scene.roughness[idx],
+        clearcoat=scene.clearcoat[idx],
+        cc_roughness=scene.clearcoat_roughness[idx],
+        transmission=scene.transmission[idx],
         position=x,
     )
 
@@ -123,6 +126,9 @@ def trace_dense(scene: GaussianScene, rays: Rays,
         depth=depth,
         metallic=metallic,
         roughness=roughness,
+        clearcoat=wsum(feats["clearcoat"]) / denom[..., 0],
+        cc_roughness=wsum(feats["cc_roughness"]) / denom[..., 0],
+        transmission=wsum(feats["transmission"]) / denom[..., 0],
         alpha_acc=alpha_acc,
         trans=trans,
         hit=alpha_acc > settings.hit_opacity_threshold,

@@ -41,7 +41,8 @@ from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
 def _packet_features(scene: GaussianScene, cam_pos, settings: RenderSettings):
     """Per-Gaussian feature rows composited by the tile kernel.
 
-    Layout (F = 11): rgb(3) emission(3) metallic(1) roughness(1) normal(3).
+    Layout (F = 14): rgb(3) emission(3) metallic(1) roughness(1) normal(3)
+    clearcoat(1) clearcoat_roughness(1) transmission(1).
     Color is SH evaluated along camera->mean (view-dependent, per Gaussian).
     Normal is the Gaussian's shortest principal axis, faced toward the camera
     (the surfel normal; cheap and stable, unlike the peak-point gradient
@@ -53,7 +54,8 @@ def _packet_features(scene: GaussianScene, cam_pos, settings: RenderSettings):
     normal = gops.surfel_normal(scene.log_scales, scene.quats, view_dir=dirs)
     return jnp.concatenate([
         color, scene.emission, scene.metallic[:, None],
-        scene.roughness[:, None], normal,
+        scene.roughness[:, None], normal, scene.clearcoat[:, None],
+        scene.clearcoat_roughness[:, None], scene.transmission[:, None],
     ], axis=-1)
 
 

@@ -61,8 +61,20 @@ def load_scene(path: str):
 
     from pathtracer_gaussiansplatting_tpu.core.types import GaussianScene
 
+    import dataclasses
+
     with np.load(path, allow_pickle=False) as z:
-        return GaussianScene(**{k: jnp.asarray(z[k]) for k in z.files})
+        data = {k: jnp.asarray(z[k]) for k in z.files}
+    # Forward compatibility: scenes saved before a material channel existed
+    # load with that channel's default (zeros / 0.03 cc roughness).
+    n = data["means"].shape[0]
+    defaults = dict(clearcoat=jnp.zeros((n,), jnp.float32),
+                    clearcoat_roughness=jnp.full((n,), 0.03, jnp.float32),
+                    transmission=jnp.zeros((n,), jnp.float32))
+    for f in dataclasses.fields(GaussianScene):
+        if f.name not in data and f.name in defaults:
+            data[f.name] = defaults[f.name]
+    return GaussianScene(**data)
 
 
 class CaptureProgress:

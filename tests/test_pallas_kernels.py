@@ -95,3 +95,42 @@ class TestPallasInterpret:
 
         gx = np.asarray(jax.grad(loss_x)(scene.means))
         np.testing.assert_allclose(g, gx, rtol=5e-3, atol=1e-6)
+
+
+class TestAnalyticBackward:
+    def test_bwd_kernel_matches_autodiff(self, rng):
+        """The analytic Pallas backward (suffix-sum VJP + envelope at t*)
+        vs jax.vjp of the XLA reference, all three cotangents active."""
+        t_tiles, p, k, f = 3, 16, 32, 5
+        scene = random_scene(k * t_tiles, rng, spread=1.2)
+        origin = jnp.array([0.0, 0.0, 4.0])
+        feats = jnp.asarray(rng.normal(size=(k * t_tiles, f)), jnp.float32)
+        idx = jnp.arange(k * t_tiles).reshape(t_tiles, k)
+        mask = jnp.asarray(rng.uniform(size=(t_tiles, k)) > 0.2)
+        packets = tc.build_tile_packets(scene, feats, origin, idx, mask)
+        d = rng.normal(size=(t_tiles, p, 3))
+        d[..., 2] = -np.abs(d[..., 2]) - 1.0
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        dirs = jnp.asarray(d, jnp.float32)
+        settings = RenderSettings()
+
+        cot = (jnp.asarray(rng.normal(size=(t_tiles, p, f)), jnp.float32),
+               jnp.asarray(rng.normal(size=(t_tiles, p)), jnp.float32),
+               jnp.asarray(rng.normal(size=(t_tiles, p)), jnp.float32) *
+               jnp.asarray(  # depth cotangent only where alpha_acc > eps
+                   tc._tile_composite_xla(packets, dirs, settings)[1] > 1e-3,
+                   jnp.float32))
+
+        _, vjp = jax.vjp(
+            lambda pk, dd: tc._tile_composite_xla(pk, dd, settings),
+            packets, dirs)
+        ref_pk, ref_dirs = vjp(cot)
+        got_pk, got_dirs = tc._tile_composite_bwd_pallas(
+            packets, dirs, cot, settings, interpret=True)
+        for key in ("q6", "wb", "c", "opac", "feats"):
+            np.testing.assert_allclose(
+                np.asarray(got_pk[key]), np.asarray(ref_pk[key]),
+                rtol=2e-3, atol=2e-4, err_msg=key)
+        np.testing.assert_allclose(np.asarray(got_dirs),
+                                   np.asarray(ref_dirs),
+                                   rtol=2e-3, atol=2e-4)

@@ -128,7 +128,7 @@ class TestTiledRender:
         scene = random_scene(50, rng, spread=1.0, emissive_frac=0.2)
         out = render_tiled(scene, cam, RenderSettings(),
                            BinningConfig(max_per_tile=64))
-        assert out["feats"].shape == (48, 64, 11)
+        assert out["feats"].shape == (48, 64, 14)
         # emission channel nonzero somewhere
         assert float(np.abs(np.asarray(out["feats"][..., 3:6])).sum()) > 0
         n = np.asarray(out["feats"][..., 8:11])
