@@ -47,8 +47,12 @@ def main():
         prepare_tiles, render_prepared,
     )
 
-    def fence(*arrays):
-        return float(sum(jnp.sum(a) for a in arrays))
+    def fence(*trees):
+        # The axon tunnel executes out of order across outputs: fencing ONE
+        # output of a computation does not drain the rest, and leftover work
+        # bleeds into the next timed section. Pull a scalar from EVERY leaf.
+        leaves = jax.tree.leaves(trees)
+        return float(sum(jnp.sum(a) for a in leaves))
 
     dev = jax.devices()[0]
     scene = random_cloud(n, seed=13, spread=1.5)
@@ -60,16 +64,19 @@ def main():
 
     # --- per-pose preprocessing (binning; amortized over spp) ---
     pk = prepare_tiles(scene, cam, settings, cfg)
-    fence(pk["c"])  # compile
+    fence(pk)  # compile
     t0 = time.perf_counter()
     for _ in range(max(2, iters // 3)):
         pk = prepare_tiles(scene, cam, settings, cfg)
-    fence(pk["c"])
+    fence(pk)
     dt_prep = (time.perf_counter() - t0) / max(2, iters // 3)
 
-    # --- per-sample forward (Pallas tile kernel) ---
-    fwd = lambda: render_prepared(pk, cam, settings, cfg)
-    fence(fwd()["color"])  # compile
+    # --- per-sample forward (Pallas tile kernel; production channels only —
+    #     untiling the full 14-channel feature image is the path tracer's
+    #     concern and it consumes tile-major features directly) ---
+    fwd = lambda: render_prepared(pk, cam, settings, cfg,
+                                  outputs=("color", "alpha_acc"))
+    fence(fwd())  # compile
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd()
@@ -87,7 +94,7 @@ def main():
         return jnp.mean(o["color"] ** 2)
 
     grad_fn = jax.jit(jax.value_and_grad(loss))
-    fence(grad_fn(scene.means)[0])  # compile
+    fence(grad_fn(scene.means))  # compile
     t0 = time.perf_counter()
     fb_iters = max(2, iters // 3)
     for _ in range(fb_iters):

@@ -1,0 +1,190 @@
+"""Spatially-partitioned rendering: resident Gaussian slabs + a ray-carry ring.
+
+BASELINE config #5 (SURVEY.md §7 step 6): at 2M+ Gaussians the scene should
+be *partitioned* across devices, not replicated or streamed. Each device owns
+one contiguous depth slab of space (its Gaussians never move — the big
+tensors stay resident); per-ray carry state (transmittance, composited
+features, the ray itself) rotates around a `lax.ppermute` ring instead. This
+is the path-tracing analog of ring attention / context parallelism
+(SURVEY.md §2.3): the "sequence" is the ray's front-to-back slab traversal,
+and the carry is the running (T, C) composite.
+
+Correctness notes:
+  * The 'over' operator on (C, T) pairs — over(x, y) = (Cx + Tx*Cy, Tx*Ty) —
+    is associative but NOT commutative, so ring rotation order matters. A ray
+    chunk starting at slab c visits slabs c..S-1 (segment A) then wraps to
+    0..c-1 (segment B); each segment folds internally in visit order, and
+    the true front-to-back result for forward rays is B over A (slabs
+    0..c-1 are nearer than c..S-1).
+  * Rays whose direction opposes the slab axis see slabs back-to-front; each
+    segment also keeps a reversed accumulator (folding 'new over acc'), and
+    the per-ray direction sign selects which pair to merge. All branch-free.
+  * Within a slab, contributions are composited in exact per-slab depth
+    order (top-K by slab-projection depth). Gaussians are assigned to slabs
+    by mean — the same mean-depth ordering approximation the tiled renderer
+    makes (render/tiled.py).
+
+Reference contrast: the reference has no distributed layer at all
+(SURVEY.md §1: single GPU, hardware TLAS, engine.cpp:1385-1520); this module
+is where the TPU build earns multi-host scale.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pathtracer_gaussiansplatting_tpu.core import sh as sh_mod
+from pathtracer_gaussiansplatting_tpu.core.types import (
+    GaussianScene, Rays, RenderSettings,
+)
+from pathtracer_gaussiansplatting_tpu.ops import gaussians as gops
+from pathtracer_gaussiansplatting_tpu.ops.composite import composite_weights
+from pathtracer_gaussiansplatting_tpu.parallel.mesh import (
+    GAUSS_AXIS, RAY_AXIS, pad_to_multiple,
+)
+
+
+def partition_slabs(scene: GaussianScene, n_slabs: int,
+                    axis=(0.0, 0.0, 1.0)) -> Tuple[GaussianScene, np.ndarray]:
+    """Sort Gaussians into ``n_slabs`` contiguous equal-count depth slabs.
+
+    Returns (sorted+padded scene, axis as float32 (3,)). Shard the result
+    over the 'gauss' mesh axis (parallel.mesh.shard_scene) so device d holds
+    slab d. Padding Gaussians are fully transparent and land in the last
+    slab (t = +inf).
+    """
+    axis = np.asarray(axis, np.float32)
+    axis = axis / max(np.linalg.norm(axis), 1e-12)
+    t = np.asarray(scene.means) @ axis
+    order = np.argsort(t, kind="stable")
+    scene_sorted = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[order]),
+                                scene)
+    return pad_to_multiple(scene_sorted, n_slabs), axis
+
+
+def _slab_composite(block: GaussianScene, origins, dirs, axis,
+                    settings: RenderSettings):
+    """Per-slab exact composite for a ray chunk: (feats (R,F), trans (R,)).
+
+    Features: [rgb(3)] — SH color + emission (radiance-field channels, the
+    same payload ring_topk_radiance carries). Contributions are ordered by
+    slab-axis projection of the mean (consistent with the slab partition, so
+    cross-slab order + in-slab order = one global order).
+    """
+    m = gops.canonical_transforms(block.log_scales, block.quats)
+    o = origins[:, None, :]
+    d = dirs[:, None, :]
+    t_peak, gval = gops.peak_response(o, d, block.means[None], m[None],
+                                      settings.t_min, settings.t_max)
+    alpha = gops.alpha_from_response(
+        block.opacities[None], gval,
+        settings.alpha_min, settings.alpha_max, settings.sigma_cut)
+    color = sh_mod.eval_sh(block.sh_coeffs[None], d, settings.sh_degree) \
+        + block.emission[None]                                    # (R,Nb,3)
+    # Order by mean projection onto the slab axis — matches the partition
+    # key, so slab-by-slab composition equals one globally-ordered pass.
+    proj = block.means @ axis                                     # (Nb,)
+    fwd = jnp.sum(dirs * axis[None], -1) >= 0.0                   # (R,)
+    order_key = jnp.where(fwd[:, None], proj[None, :], -proj[None, :])
+    order_key = jnp.where(alpha > 0.0, order_key, jnp.inf)
+    k = min(settings.max_contribs, block.num_gaussians)
+    neg_key, idx = jax.lax.top_k(-order_key, k)
+    valid = jnp.isfinite(-neg_key)
+    alpha_sel = jnp.where(valid, jnp.take_along_axis(alpha, idx, 1), 0.0)
+    color_sel = jnp.take_along_axis(color, idx[..., None], 1)
+    weights, trans = composite_weights(alpha_sel)
+    feats = jnp.einsum("rk,rkc->rc", weights, color_sel)
+    return feats, trans, fwd
+
+
+def _over(c_front, t_front, c_back, t_back):
+    """'over' composition: front segment seen before back segment."""
+    return c_front + t_front[:, None] * c_back, t_front * t_back
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "mesh"))
+def render_spatial(scene_slabbed: GaussianScene, rays: Rays,
+                   settings: RenderSettings, mesh, axis=(0.0, 0.0, 1.0)):
+    """Radiance over spatially-partitioned Gaussians via the carry ring.
+
+    Args:
+      scene_slabbed: output of :func:`partition_slabs`, shard over 'gauss'.
+      rays: ray batch; the leading axis is sharded over BOTH mesh axes
+        (P((RAY_AXIS, GAUSS_AXIS))) — within each rays-shard, chunk c starts
+        resident on gauss-device c. Ray count must divide evenly.
+      mesh: (rays, gauss) mesh (parallel.mesh.make_mesh).
+
+    Returns (R, 3) radiance (background composited), sharded like the input
+    rays.
+    """
+    s_ring = mesh.shape[GAUSS_AXIS]
+    axis_v = jnp.asarray(axis, jnp.float32)
+    axis_v = axis_v / jnp.maximum(jnp.linalg.norm(axis_v), 1e-12)
+
+    def kernel(block, origins, dirs):
+        # block: (Nb, ...) resident slab (slab id == my gauss index).
+        # origins/dirs: (chunk, 3) resident ray chunk.
+        r = origins.shape[0]
+        my = jax.lax.axis_index(GAUSS_AXIS)
+        chunk_id = my  # chunk c starts on device c
+        # Segment accumulators: A = pre-wrap visits, B = post-wrap; _f folds
+        # behind (acc over new), _b folds in front (new over acc).
+        zero = jnp.zeros((r, 3))
+        one = jnp.ones((r,))
+        acc = dict(cAf=zero, tAf=one, cAb=zero, tAb=one,
+                   cBf=zero, tBf=one, cBb=zero, tBb=one)
+        state = (origins, dirs, chunk_id, acc)
+        perm = [(i, (i + 1) % s_ring) for i in range(s_ring)]
+
+        for step in range(s_ring):
+            origins, dirs, chunk_id, acc = state
+            feats, trans, fwd = _slab_composite(block, origins, dirs,
+                                                axis_v, settings)
+            wrapped = step >= (s_ring - chunk_id)  # scalar per resident chunk
+
+            def fold(cf, tf, cb, tb, active):
+                nf_c, nf_t = _over(cf, tf, feats, trans)     # acc over new
+                nb_c, nb_t = _over(feats, trans, cb, tb)     # new over acc
+                sel = jnp.where(active, 1.0, 0.0)
+                return (cf + sel * (nf_c - cf), tf + sel * (nf_t - tf),
+                        cb + sel * (nb_c - cb), tb + sel * (nb_t - tb))
+
+            a_active = jnp.logical_not(wrapped)
+            acc["cAf"], acc["tAf"], acc["cAb"], acc["tAb"] = fold(
+                acc["cAf"], acc["tAf"], acc["cAb"], acc["tAb"], a_active)
+            acc["cBf"], acc["tBf"], acc["cBb"], acc["tBb"] = fold(
+                acc["cBf"], acc["tBf"], acc["cBb"], acc["tBb"], wrapped)
+            state = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, GAUSS_AXIS, perm),
+                (origins, dirs, chunk_id, acc))
+
+        origins, dirs, chunk_id, acc = state
+        # After S steps the chunk is home. True front-to-back order:
+        #   forward rays: slabs 0..c-1 (B) then c..S-1 (A) -> B over A,
+        #   reverse rays: slabs S-1..c (A, reversed) then c-1..0 (B, reversed)
+        #                 -> A_b over B_b.
+        fwd = jnp.sum(dirs * axis_v[None], -1) >= 0.0
+        c_f, t_f = _over(acc["cBf"], acc["tBf"], acc["cAf"], acc["tAf"])
+        c_b, t_b = _over(acc["cAb"], acc["tAb"], acc["cBb"], acc["tBb"])
+        color = jnp.where(fwd[:, None], c_f, c_b)
+        trans = jnp.where(fwd, t_f, t_b)
+        bg = jnp.asarray(settings.background, jnp.float32)
+        return color + trans[:, None] * bg
+
+    scene_specs = jax.tree.map(lambda _: P(GAUSS_AXIS), scene_slabbed)
+    fn = jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(scene_specs, P((RAY_AXIS, GAUSS_AXIS)),
+                  P((RAY_AXIS, GAUSS_AXIS))),
+        out_specs=P((RAY_AXIS, GAUSS_AXIS)))
+    return fn(scene_slabbed, rays.origins, rays.directions)
+
+
+def spatial_sharding(mesh):
+    """Sharding for ray arrays consumed by render_spatial."""
+    return NamedSharding(mesh, P((RAY_AXIS, GAUSS_AXIS)))

@@ -295,6 +295,36 @@ def interaction_from_tiles(out, rays: Rays, settings: RenderSettings):
     )
 
 
+def interaction_from_tile_arrays(out, origins, dirs, settings):
+    """Build the primary interaction from tile-major kernel outputs.
+
+    Skips the untile transpose altogether: the path tracer is order-agnostic,
+    so bounces run in tile-major ray order and only the final radiance image
+    is untiled (render/tiled.untile_image).
+    """
+    from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
+
+    feats = out["tile_feats"].reshape(-1, out["tile_feats"].shape[-1])
+    alpha = out["tile_alpha"].reshape(-1)
+    depth = out["tile_depth"].reshape(-1)
+    denom = jnp.maximum(alpha, 1e-8)
+    return dict(
+        radiance_emitted=feats[:, 3:6],
+        albedo=feats[:, 0:3],
+        normal=safe_normalize(feats[:, 8:11]),
+        position=origins + depth[:, None] * dirs,
+        depth=depth,
+        metallic=feats[:, 6] / denom,
+        roughness=feats[:, 7] / denom,
+        clearcoat=feats[:, 11] / denom,
+        cc_roughness=feats[:, 12] / denom,
+        transmission=feats[:, 13] / denom,
+        alpha_acc=alpha,
+        trans=1.0 - alpha,
+        hit=alpha > settings.hit_opacity_threshold,
+    )
+
+
 def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
                      key, packets=None, tables=None, punctual=None,
                      trace_fn=None, visibility_fn=None,
@@ -303,28 +333,39 @@ def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
     primary hit (binning amortized via ``packets`` from prepare_tiles),
     grid/dense backend for bounces and shadows.
 
+    The primary stage stays in tile-major order end-to-end (no 14-channel
+    image transpose); only the final radiance is untiled back to row-major.
     The bounce continuation runs in ray chunks of ``chunk`` (the grid DDA
     gathers (R, Kc, 3, 3) canonical transforms per step — unbounded R blows
     HBM at 4K images). Returns (H*W, 3) radiance.
     """
-    from pathtracer_gaussiansplatting_tpu.core.camera import generate_rays
     from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
     from pathtracer_gaussiansplatting_tpu.render.tiled import (
-        prepare_tiles, render_prepared,
+        prepare_tiles, render_prepared, untile_image,
     )
 
     config = config or BinningConfig()
     if packets is None:
         packets = prepare_tiles(scene, camera, settings, config)
-    out = render_prepared(packets, camera, settings, config, jitter=jitter)
-    rays = generate_rays(camera, jitter=jitter)
-    primary = interaction_from_tiles(out, rays, settings)
-    n = rays.num_rays
+    out = render_prepared(
+        packets, camera, settings, config, jitter=jitter,
+        outputs=("tile_feats", "tile_alpha", "tile_depth", "tile_dirs"))
+    t, p, _ = out["tile_dirs"].shape
+    dirs = out["tile_dirs"].reshape(t * p, 3)
+    origins = jnp.broadcast_to(camera.c2w[:3, 3][None], (t * p, 3))
+    rays = Rays(origins, dirs)
+    primary = interaction_from_tile_arrays(out, origins, dirs, settings)
+    n = t * p
+
+    def finish(radiance_tm):
+        img = untile_image(radiance_tm.reshape(t, p, 3), camera, config)
+        return img.reshape(-1, 3)
+
     if n <= chunk:
-        return pathtrace(scene, rays, settings, key, tables=tables,
-                         punctual=punctual, trace_fn=trace_fn,
-                         visibility_fn=visibility_fn,
-                         primary_interaction=primary)
+        return finish(pathtrace(scene, rays, settings, key, tables=tables,
+                                punctual=punctual, trace_fn=trace_fn,
+                                visibility_fn=visibility_fn,
+                                primary_interaction=primary))
     parts = []
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
@@ -336,7 +377,7 @@ def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
                                trace_fn=trace_fn,
                                visibility_fn=visibility_fn,
                                primary_interaction=sub_primary))
-    return jnp.concatenate(parts, axis=0)
+    return finish(jnp.concatenate(parts, axis=0))
 
 
 def accumulate(prev, cur, frame):

@@ -144,13 +144,25 @@ def prepare_tiles(scene: GaussianScene, camera: Camera,
     return packets
 
 
+ALL_OUTPUTS = ("color", "feats", "alpha_acc", "depth")
+
+
 @functools.partial(
-    jax.jit, static_argnames=("settings", "config", "interpret"))
+    jax.jit, static_argnames=("settings", "config", "interpret", "outputs"))
 def render_prepared(packets, camera: Camera,
                     settings: RenderSettings = RenderSettings(),
                     config: BinningConfig = BinningConfig(),
-                    interpret: bool = False, jitter=None):
-    """Composite one sample from prepared packets (optionally jittered rays)."""
+                    interpret: bool = False, jitter=None,
+                    outputs: tuple = ALL_OUTPUTS):
+    """Composite one sample from prepared packets (optionally jittered rays).
+
+    ``outputs`` (static) selects which channels to materialize — untiling a
+    14-channel feature image costs several x the kernel itself, so callers
+    that only need color (the accumulation loop) or only tile-major features
+    (the path tracer, which re-flattens anyway) should ask for just those.
+    Tile-major variants: "tile_feats" (T,P,F), "tile_alpha" (T,P),
+    "tile_depth" (T,P) skip the untile transpose entirely.
+    """
     from pathtracer_gaussiansplatting_tpu.kernels.tile_composite import (
         tile_composite,
     )
@@ -158,13 +170,36 @@ def render_prepared(packets, camera: Camera,
     dirs_t, untile = _tile_dirs(camera, config, jitter=jitter)
     out, alpha_acc, depth = tile_composite(packets, dirs_t, settings,
                                            interpret)
-    out_img = untile(out)
-    alpha_img = untile(alpha_acc[..., None])[..., 0]
-    depth_img = untile(depth[..., None])[..., 0]
-    bg = jnp.asarray(settings.background, jnp.float32)
-    color = out_img[..., :3] + (1.0 - alpha_img[..., None]) * bg
-    return dict(color=color, feats=out_img, alpha_acc=alpha_img,
-                depth=depth_img)
+    res = {}
+    if "tile_feats" in outputs:
+        res["tile_feats"] = out
+    if "tile_alpha" in outputs:
+        res["tile_alpha"] = alpha_acc
+    if "tile_depth" in outputs:
+        res["tile_depth"] = depth
+    if "tile_dirs" in outputs:
+        res["tile_dirs"] = dirs_t
+    need_alpha_img = ("alpha_acc" in outputs) or ("color" in outputs)
+    alpha_img = (untile(alpha_acc[..., None])[..., 0]
+                 if need_alpha_img else None)
+    if "color" in outputs:
+        bg = jnp.asarray(settings.background, jnp.float32)
+        res["color"] = untile(out[..., :3]) \
+            + (1.0 - alpha_img[..., None]) * bg
+    if "feats" in outputs:
+        res["feats"] = untile(out)
+    if "alpha_acc" in outputs:
+        res["alpha_acc"] = alpha_img
+    if "depth" in outputs:
+        res["depth"] = untile(depth[..., None])[..., 0]
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def untile_image(x, camera: Camera, config: BinningConfig):
+    """(T, P, C) tile-major -> (H, W, C) row-major image."""
+    _, untile = _tile_dirs(camera, config)
+    return untile(x)
 
 
 def render_tiled_pallas(scene: GaussianScene, camera: Camera,
