@@ -127,6 +127,41 @@ def cmd_fit(args):
         print(f"wrote {args.output}")
 
 
+def cmd_view_pointcloud(args):
+    """Point-cloud overlay view (the P/O/T hotkeys, pointcloud.vert modes)."""
+    import numpy as np
+
+    from pathtracer_gaussiansplatting_tpu.core.camera import Camera, toroidal_c2w
+    from pathtracer_gaussiansplatting_tpu.data.images import save_png
+    from pathtracer_gaussiansplatting_tpu.data.ply import load_point_cloud_ply
+    from pathtracer_gaussiansplatting_tpu.render.points import render_point_cloud
+    from pathtracer_gaussiansplatting_tpu.utils.config import load_scene_config
+
+    cfg = load_scene_config(args.scene)
+    pc = load_point_cloud_ply(args.ply)
+    n = len(pc["positions"])
+    cam = Camera(c2w=toroidal_c2w(args.alpha, args.beta,
+                                  cfg.torus.major_radius, cfg.torus.height),
+                 fov_y_deg=cfg.fov_y_deg,
+                 width=args.width or cfg.width,
+                 height=args.height or cfg.height)
+    uv = None
+    if args.mode == "torus":
+        # Regenerate the capture's (u, v) stream (fixed seed, like the
+        # sampling pipeline) for sensor-surface reprojection.
+        from pathtracer_gaussiansplatting_tpu.sampling.strategies import (
+            generate_samples,
+        )
+
+        uv = np.asarray(generate_samples(args.sampling, n, seed=13))
+    img = render_point_cloud(pc["positions"], pc["colors"],
+                             pc.get("flags", np.ones(n)), cam,
+                             mode=args.mode, uv=uv, torus=cfg.torus,
+                             point_size=args.point_size)
+    save_png(args.output, np.clip(np.asarray(img), 0.0, 1.0))
+    print(f"wrote {args.output}")
+
+
 def cmd_bench(args):
     import bench
 
@@ -171,6 +206,21 @@ def main(argv=None):
     sp.add_argument("--lr", type=float, default=5e-3)
     sp.add_argument("--init-gaussians", type=int, default=500)
     sp.set_defaults(fn=cmd_fit)
+
+    sp = sub.add_parser("view-pointcloud",
+                        help="rasterize a captured point cloud (P/O/T view)")
+    sp.add_argument("--scene", required=True)
+    sp.add_argument("--ply", required=True, help="points3d.ply from capture")
+    sp.add_argument("--output", default="pointcloud.png")
+    sp.add_argument("--mode", choices=("world", "torus"), default="world")
+    sp.add_argument("--sampling", default="halton",
+                    help="uv stream to reproject with in torus mode")
+    sp.add_argument("--alpha", type=float, default=0.0)
+    sp.add_argument("--beta", type=float, default=15.0)
+    sp.add_argument("--width", type=int, default=0)
+    sp.add_argument("--height", type=int, default=0)
+    sp.add_argument("--point-size", type=int, default=2)
+    sp.set_defaults(fn=cmd_view_pointcloud)
 
     sp = sub.add_parser("bench", help="benchmark harness")
     sp.set_defaults(fn=cmd_bench)
