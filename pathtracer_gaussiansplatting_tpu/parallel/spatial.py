@@ -107,45 +107,35 @@ def _over(c_front, t_front, c_back, t_back):
     return c_front + t_front[:, None] * c_back, t_front * t_back
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "mesh"))
-def render_spatial(scene_slabbed: GaussianScene, rays: Rays,
-                   settings: RenderSettings, mesh, axis=(0.0, 0.0, 1.0)):
-    """Radiance over spatially-partitioned Gaussians via the carry ring.
+def _ring_composite(scene_slabbed: GaussianScene, origins, dirs, extra,
+                    settings: RenderSettings, mesh, axis_v, slab_fn,
+                    feat_dim: int):
+    """Generic slab-carry ring: fold slab_fn's (feats, trans) around the ring.
 
-    Args:
-      scene_slabbed: output of :func:`partition_slabs`, shard over 'gauss'.
-      rays: ray batch; the leading axis is sharded over BOTH mesh axes
-        (P((RAY_AXIS, GAUSS_AXIS))) — within each rays-shard, chunk c starts
-        resident on gauss-device c. Ray count must divide evenly.
-      mesh: (rays, gauss) mesh (parallel.mesh.make_mesh).
-
-    Returns (R, 3) radiance (background composited), sharded like the input
-    rays.
+    slab_fn(block, origins, dirs, extra) -> (feats (r, feat_dim), trans (r,)).
+    ``extra`` is an optional per-ray payload pytree that rides the ring with
+    the rays (e.g. shadow t_end). Returns (feats (R, feat_dim), trans (R,)),
+    composited in true front-to-back slab order per ray direction.
     """
     s_ring = mesh.shape[GAUSS_AXIS]
-    axis_v = jnp.asarray(axis, jnp.float32)
-    axis_v = axis_v / jnp.maximum(jnp.linalg.norm(axis_v), 1e-12)
 
-    def kernel(block, origins, dirs):
-        # block: (Nb, ...) resident slab (slab id == my gauss index).
-        # origins/dirs: (chunk, 3) resident ray chunk.
+    def kernel(block, origins, dirs, extra):
         r = origins.shape[0]
         my = jax.lax.axis_index(GAUSS_AXIS)
         chunk_id = my  # chunk c starts on device c
         # Segment accumulators: A = pre-wrap visits, B = post-wrap; _f folds
         # behind (acc over new), _b folds in front (new over acc).
-        zero = jnp.zeros((r, 3))
+        zero = jnp.zeros((r, feat_dim))
         one = jnp.ones((r,))
         acc = dict(cAf=zero, tAf=one, cAb=zero, tAb=one,
                    cBf=zero, tBf=one, cBb=zero, tBb=one)
-        state = (origins, dirs, chunk_id, acc)
+        state = (origins, dirs, extra, chunk_id, acc)
         perm = [(i, (i + 1) % s_ring) for i in range(s_ring)]
 
         for step in range(s_ring):
-            origins, dirs, chunk_id, acc = state
-            feats, trans, fwd = _slab_composite(block, origins, dirs,
-                                                axis_v, settings)
-            wrapped = step >= (s_ring - chunk_id)  # scalar per resident chunk
+            origins, dirs, extra, chunk_id, acc = state
+            feats, trans = slab_fn(block, origins, dirs, extra)
+            wrapped = step >= (s_ring - chunk_id)
 
             def fold(cf, tf, cb, tb, active):
                 nf_c, nf_t = _over(cf, tf, feats, trans)     # acc over new
@@ -161,9 +151,9 @@ def render_spatial(scene_slabbed: GaussianScene, rays: Rays,
                 acc["cBf"], acc["tBf"], acc["cBb"], acc["tBb"], wrapped)
             state = jax.tree.map(
                 lambda x: jax.lax.ppermute(x, GAUSS_AXIS, perm),
-                (origins, dirs, chunk_id, acc))
+                (origins, dirs, extra, chunk_id, acc))
 
-        origins, dirs, chunk_id, acc = state
+        origins, dirs, extra, chunk_id, acc = state
         # After S steps the chunk is home. True front-to-back order:
         #   forward rays: slabs 0..c-1 (B) then c..S-1 (A) -> B over A,
         #   reverse rays: slabs S-1..c (A, reversed) then c-1..0 (B, reversed)
@@ -171,18 +161,159 @@ def render_spatial(scene_slabbed: GaussianScene, rays: Rays,
         fwd = jnp.sum(dirs * axis_v[None], -1) >= 0.0
         c_f, t_f = _over(acc["cBf"], acc["tBf"], acc["cAf"], acc["tAf"])
         c_b, t_b = _over(acc["cAb"], acc["tAb"], acc["cBb"], acc["tBb"])
-        color = jnp.where(fwd[:, None], c_f, c_b)
-        trans = jnp.where(fwd, t_f, t_b)
-        bg = jnp.asarray(settings.background, jnp.float32)
-        return color + trans[:, None] * bg
+        return (jnp.where(fwd[:, None], c_f, c_b),
+                jnp.where(fwd, t_f, t_b))
 
     scene_specs = jax.tree.map(lambda _: P(GAUSS_AXIS), scene_slabbed)
+    ray_spec = P((RAY_AXIS, GAUSS_AXIS))
+    extra_specs = jax.tree.map(lambda _: ray_spec, extra)
     fn = jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(scene_specs, P((RAY_AXIS, GAUSS_AXIS)),
-                  P((RAY_AXIS, GAUSS_AXIS))),
-        out_specs=P((RAY_AXIS, GAUSS_AXIS)))
-    return fn(scene_slabbed, rays.origins, rays.directions)
+        in_specs=(scene_specs, ray_spec, ray_spec, extra_specs),
+        out_specs=(ray_spec, ray_spec))
+    return fn(scene_slabbed, origins, dirs, extra)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "mesh"))
+def render_spatial(scene_slabbed: GaussianScene, rays: Rays,
+                   settings: RenderSettings, mesh, axis=(0.0, 0.0, 1.0)):
+    """Radiance over spatially-partitioned Gaussians via the carry ring.
+
+    Args:
+      scene_slabbed: output of :func:`partition_slabs`, shard over 'gauss'.
+      rays: ray batch; the leading axis is sharded over BOTH mesh axes
+        (P((RAY_AXIS, GAUSS_AXIS))) — within each rays-shard, chunk c starts
+        resident on gauss-device c. Ray count must divide evenly.
+      mesh: (rays, gauss) mesh (parallel.mesh.make_mesh).
+
+    Returns (R, 3) radiance (background composited), sharded like the input
+    rays.
+    """
+    axis_v = jnp.asarray(axis, jnp.float32)
+    axis_v = axis_v / jnp.maximum(jnp.linalg.norm(axis_v), 1e-12)
+
+    def slab_fn(block, origins, dirs, extra):
+        feats, trans, _ = _slab_composite(block, origins, dirs, axis_v,
+                                          settings)
+        return feats, trans
+
+    color, trans = _ring_composite(scene_slabbed, rays.origins,
+                                   rays.directions, (), settings, mesh,
+                                   axis_v, slab_fn, 3)
+    bg = jnp.asarray(settings.background, jnp.float32)
+    return color + trans[:, None] * bg
+
+
+def _slab_interaction_feats(block: GaussianScene, origins, dirs, axis,
+                            settings: RenderSettings):
+    """Per-slab composite of the FULL interaction feature stack.
+
+    Layout (F = 15): albedo(3) emission(3) metallic(1) roughness(1)
+    normal(3) clearcoat(1) cc_roughness(1) transmission(1) depth(1) —
+    position is reconstructed from depth by the caller.
+    """
+    m = gops.canonical_transforms(block.log_scales, block.quats)
+    o = origins[:, None, :]
+    d = dirs[:, None, :]
+    t_peak, gval = gops.peak_response(o, d, block.means[None], m[None],
+                                      settings.t_min, settings.t_max)
+    alpha = gops.alpha_from_response(
+        block.opacities[None], gval,
+        settings.alpha_min, settings.alpha_max, settings.sigma_cut)
+    proj = block.means @ axis
+    fwd = jnp.sum(dirs * axis[None], -1) >= 0.0
+    order_key = jnp.where(fwd[:, None], proj[None, :], -proj[None, :])
+    order_key = jnp.where(alpha > 0.0, order_key, jnp.inf)
+    k = min(settings.max_contribs, block.num_gaussians)
+    neg_key, idx = jax.lax.top_k(-order_key, k)                # (r, k)
+    valid = jnp.isfinite(-neg_key)
+    alpha_sel = jnp.where(valid, jnp.take_along_axis(alpha, idx, 1), 0.0)
+    weights, trans = composite_weights(alpha_sel)
+    d_rk = jnp.broadcast_to(dirs[:, None, :], idx.shape + (3,))
+    color = sh_mod.eval_sh(block.sh_coeffs[idx], d_rk, settings.sh_degree)
+    normal = gops.surfel_normal(block.log_scales[idx], block.quats[idx],
+                                view_dir=d_rk)
+    rows = jnp.concatenate([
+        color,
+        block.emission[idx],
+        block.metallic[idx][..., None],
+        block.roughness[idx][..., None],
+        normal,
+        block.clearcoat[idx][..., None],
+        block.clearcoat_roughness[idx][..., None],
+        block.transmission[idx][..., None],
+        jnp.take_along_axis(t_peak, idx, 1)[..., None],
+    ], axis=-1)                                               # (r, k, 15)
+    feats = jnp.einsum("rk,rkf->rf", weights, rows)
+    return feats, trans
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "mesh"))
+def trace_spatial(scene_slabbed: GaussianScene, rays: Rays,
+                  settings: RenderSettings, mesh, axis=(0.0, 0.0, 1.0)):
+    """trace_dense-compatible aggregate interaction over partitioned slabs.
+
+    Lets the multi-bounce path tracer (render/pathtrace.pathtrace) run with
+    the scene spatially sharded: pass
+    trace_fn=lambda s, r, st: trace_spatial(slabbed, r, st, mesh) and
+    visibility_fn=visibility_spatial. Ray layout contract as render_spatial.
+    """
+    from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
+
+    axis_v = jnp.asarray(axis, jnp.float32)
+    axis_v = axis_v / jnp.maximum(jnp.linalg.norm(axis_v), 1e-12)
+
+    def slab_fn(block, origins, dirs, extra):
+        return _slab_interaction_feats(block, origins, dirs, axis_v,
+                                       settings)
+
+    feats, trans = _ring_composite(scene_slabbed, rays.origins,
+                                   rays.directions, (), settings, mesh,
+                                   axis_v, slab_fn, 15)
+    alpha_acc = 1.0 - trans
+    denom = jnp.maximum(alpha_acc, 1e-8)
+    depth = feats[:, 14] / denom
+    return dict(
+        albedo=feats[:, 0:3],
+        radiance_emitted=feats[:, 3:6],
+        metallic=feats[:, 6] / denom,
+        roughness=feats[:, 7] / denom,
+        normal=safe_normalize(feats[:, 8:11]),
+        clearcoat=feats[:, 11] / denom,
+        cc_roughness=feats[:, 12] / denom,
+        transmission=feats[:, 13] / denom,
+        depth=depth,
+        position=rays.origins + depth[:, None] * rays.directions,
+        alpha_acc=alpha_acc,
+        trans=trans,
+        hit=alpha_acc > settings.hit_opacity_threshold,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "mesh"))
+def visibility_spatial(scene_slabbed: GaussianScene, origins, directions,
+                       t_end, settings: RenderSettings, mesh,
+                       axis=(0.0, 0.0, 1.0)):
+    """Shadow transmittance over partitioned slabs (order-free product).
+
+    The per-slab segment transmittances multiply commutatively, but riding
+    the same ring keeps the data movement pattern (and sharding contract)
+    identical to the trace."""
+    axis_v = jnp.asarray(axis, jnp.float32)
+    axis_v = axis_v / jnp.maximum(jnp.linalg.norm(axis_v), 1e-12)
+
+    def slab_fn(block, o, d, extra):
+        m = gops.canonical_transforms(block.log_scales, block.quats)
+        alpha = gops.segment_transmittance_alpha(
+            o[:, None, :], d[:, None, :], block.means[None], m[None],
+            block.opacities[None], settings.t_min, extra[:, None],
+            settings.alpha_min, settings.alpha_max)
+        trans = jnp.prod(1.0 - alpha, axis=-1)
+        return jnp.zeros((o.shape[0], 0)), trans
+
+    _, trans = _ring_composite(scene_slabbed, origins, directions, t_end,
+                               settings, mesh, axis_v, slab_fn, 0)
+    return trans
 
 
 def spatial_sharding(mesh):

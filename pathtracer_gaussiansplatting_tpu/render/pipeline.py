@@ -53,4 +53,19 @@ def make_trace_backend(scene: GaussianScene, settings: RenderSettings,
                                    max_steps=max_steps)
 
         return (lambda s, r, st: trace_fn(s, r, st)), vis_fn
+    if backend == "spatial":
+        # Spatially partitioned scene (parallel/spatial.py): `scene` must be
+        # the slab-partitioned output of partition_slabs, gauss-sharded on
+        # `mesh`; ray batches must follow spatial_sharding's layout.
+        from pathtracer_gaussiansplatting_tpu.parallel.spatial import (
+            trace_spatial, visibility_spatial,
+        )
+
+        mesh = accel  # the mesh rides the accel slot
+        if mesh is None:
+            raise ValueError("backend='spatial' needs accel=<mesh>")
+        trace_fn = lambda s, r, st: trace_spatial(scene, r, st, mesh)
+        vis_fn = lambda o, d, t: visibility_spatial(scene, o, d, t,
+                                                    settings, mesh)
+        return trace_fn, vis_fn
     raise ValueError(f"unknown backend '{backend}'")

@@ -93,6 +93,102 @@ class TestSpatialRing:
                 sort_depths=jnp.asarray(sign * proj)))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_trace_spatial_matches_dense(self, rng):
+        """Full interaction channels over the slab ring vs trace_dense with
+        the same ordering key."""
+        from pathtracer_gaussiansplatting_tpu.parallel.spatial import (
+            trace_spatial,
+        )
+        from pathtracer_gaussiansplatting_tpu.render.reference import (
+            trace_dense,
+        )
+
+        n, r = 64, 32
+        scene = random_scene(n, rng, emissive_frac=0.1)
+        scene = scene.replace(
+            transmission=jnp.where(jnp.arange(n) % 3 == 0, 0.5, 0.0),
+            clearcoat=jnp.where(jnp.arange(n) % 4 == 0, 0.7, 0.0))
+        mesh = make_mesh((2, 4))
+        slabbed, axis_v = partition_slabs(scene, 4)
+        settings = RenderSettings(max_contribs=n)
+        rays = _rays(rng, r)
+        rays_sh = jax.tree.map(
+            lambda x: jax.device_put(x, spatial_sharding(mesh)), rays)
+        got = trace_spatial(slabbed, rays_sh, settings, mesh)
+        proj = jnp.asarray(np.asarray(slabbed.means) @ axis_v)
+        want = trace_dense(slabbed, rays, settings, sort_depths=proj)
+        # all rays here point forward along the axis (toward -z... the axis
+        # is +z and rays look -z: fix by comparing per-direction like above)
+        fwd = np.asarray(jnp.sum(rays.directions
+                                 * jnp.asarray(axis_v), -1)) >= 0
+        want_rev = trace_dense(slabbed, rays, settings, sort_depths=-proj)
+        for key in ("albedo", "radiance_emitted", "metallic", "roughness",
+                    "clearcoat", "cc_roughness", "transmission",
+                    "alpha_acc", "depth", "normal"):
+            w = np.where((fwd[:, None] if np.asarray(want[key]).ndim == 2
+                          else fwd),
+                         np.asarray(want[key]), np.asarray(want_rev[key]))
+            np.testing.assert_allclose(np.asarray(got[key]), w,
+                                       rtol=3e-4, atol=3e-4, err_msg=key)
+
+    def test_pathtrace_through_spatial_backend(self, rng):
+        """Multi-bounce pathtrace with trace/visibility served by the slab
+        ring — radiance finite and close to the dense-backend render."""
+        from pathtracer_gaussiansplatting_tpu.parallel.spatial import (
+            trace_spatial, visibility_spatial,
+        )
+        from pathtracer_gaussiansplatting_tpu.render.pathtrace import (
+            pathtrace,
+        )
+
+        n, r = 64, 32
+        scene = random_scene(n, rng, emissive_frac=0.15)
+        mesh = make_mesh((2, 4))
+        slabbed, axis_v = partition_slabs(scene, 4)
+        settings = RenderSettings(max_depth=2, max_contribs=n,
+                                  ambient=(0.05, 0.05, 0.08, 1.0))
+        rays = _rays(rng, r)
+        rays_sh = jax.tree.map(
+            lambda x: jax.device_put(x, spatial_sharding(mesh)), rays)
+        key = jax.random.PRNGKey(3)
+
+        trace_fn = lambda s, rr, st: trace_spatial(slabbed, rr, st, mesh)
+        vis_fn = lambda o, d, t: visibility_spatial(
+            slabbed, o, d, t, settings, mesh)
+        got = np.asarray(pathtrace(slabbed, rays_sh, settings, key,
+                                   trace_fn=trace_fn, visibility_fn=vis_fn))
+        assert np.isfinite(got).all()
+        # dense-backend render of the same scene+rays+key for comparison —
+        # orderings differ slightly (exact-t vs slab-projection), so compare
+        # loosely in aggregate.
+        want = np.asarray(pathtrace(slabbed, rays, settings, key))
+        assert abs(got.mean() - want.mean()) < 0.15 * max(want.mean(), 0.05)
+
+    def test_visibility_spatial_matches_dense(self, rng):
+        from pathtracer_gaussiansplatting_tpu.parallel.spatial import (
+            visibility_spatial,
+        )
+        from pathtracer_gaussiansplatting_tpu.render.reference import (
+            visibility_dense,
+        )
+
+        n, r = 48, 32
+        scene = random_scene(n, rng)
+        mesh = make_mesh((2, 4))
+        slabbed, _ = partition_slabs(scene, 4)
+        settings = RenderSettings()
+        rays = _rays(rng, r)
+        t_end = jnp.full((r,), 6.0)
+        sharding = spatial_sharding(mesh)
+        got = visibility_spatial(
+            slabbed, jax.device_put(rays.origins, sharding),
+            jax.device_put(rays.directions, sharding),
+            jax.device_put(t_end, sharding), settings, mesh)
+        want = visibility_dense(slabbed, rays.origins, rays.directions,
+                                t_end, settings)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_partition_preserves_content(self, rng):
         scene = random_scene(50, rng)
         slabbed, _ = partition_slabs(scene, 8)
