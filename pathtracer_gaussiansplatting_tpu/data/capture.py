@@ -230,7 +230,33 @@ def capture_scene_data(scene, out_dir: str,
     num_points = 0
     if capture_pointcloud:
         n_rays = num_rays if num_rays is not None else torus.num_rays
-        uv = generate_samples(SamplingMethod(sampling_method), n_rays)
+        method = SamplingMethod(sampling_method)
+        trace_jit_boot = jax.jit(lambda sc, r: trace_fn(sc, r, settings))
+        if method in (SamplingMethod.IMP_COL, SamplingMethod.IMP_HIT):
+            # Importance feedback (the reference's only GPU->CPU->GPU loop,
+            # sampling.cpp:366-434 via readBuffer): bootstrap with a uniform
+            # pass, then rebuild the (u,v) set from its colors / hit ratio.
+            uv0 = generate_samples(SamplingMethod.UNIFORM, n_rays)
+            boot_rays = torus_rays(jnp.asarray(uv0), torus)
+            boot_cols, boot_flags = [], []
+            for s in range(0, n_rays, chunk):
+                e = min(s + chunk, n_rays)
+                inter = trace_jit_boot(
+                    scene, Rays(boot_rays.origins[s:e],
+                                boot_rays.directions[s:e]))
+                alpha = np.maximum(np.asarray(inter["alpha_acc"]), 1e-8)
+                boot_cols.append(np.asarray(inter["albedo"])
+                                 / alpha[:, None])
+                boot_flags.append(alpha > settings.hit_opacity_threshold)
+            uv = generate_samples(
+                method, n_rays, prev_uv=uv0,
+                prev_colors=np.concatenate(boot_cols),
+                prev_flags=np.concatenate(boot_flags).astype(np.float32))
+            if progress:
+                progress(f"importance resample ({method.value}) from "
+                         f"{n_rays} bootstrap rays")
+        else:
+            uv = generate_samples(method, n_rays)
         rays = torus_rays(jnp.asarray(uv), torus)
         positions, normals, colors, flags = [], [], [], []
         trace_jit = jax.jit(lambda sc, r: trace_fn(sc, r, settings))

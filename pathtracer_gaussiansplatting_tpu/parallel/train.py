@@ -76,6 +76,76 @@ def make_train_step(settings: RenderSettings,
     )
 
 
+def make_tiled_train_step(settings: RenderSettings,
+                          optimizer: optax.GradientTransformation,
+                          config=None, loss_fn: Callable = l2_loss):
+    """Train step rendering full camera frames through the fused tile
+    pipeline — the production 3DGS training loop (fresh binning every step,
+    forward + analytic backward through the Pallas kernels).
+
+    Returns step(scene, opt_state, camera, target_hw3) ->
+    (scene, opt_state, loss). Camera is a pytree (c2w traced; width/height/
+    fov static), so pose changes between steps don't recompile.
+    """
+    from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
+    from pathtracer_gaussiansplatting_tpu.render.tiled import (
+        prepare_tiles, render_prepared,
+    )
+
+    config = config or BinningConfig()
+
+    def loss_of(scene, camera, target):
+        packets = prepare_tiles(scene, camera, settings, config)
+        out = render_prepared(packets, camera, settings, config,
+                              outputs=("color",))
+        return loss_fn(out["color"], target)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(scene, opt_state, camera, target):
+        loss, grads = jax.value_and_grad(loss_of)(scene, camera, target)
+        updates, opt_state = optimizer.update(grads, opt_state, scene)
+        scene = optax.apply_updates(scene, updates)
+        return scene, opt_state, loss
+
+    return step
+
+
+def fit_scene_tiled(scene, cameras, targets, settings,
+                    steps: int = 200, lr: float = 5e-3, config=None,
+                    progress: Optional[Callable] = None):
+    """Fit a scene to (camera, image) pairs with the tiled pipeline.
+
+    ``cameras``: list of Camera (same static intrinsics); ``targets``:
+    matching list of (H, W, 3) images. Cycles through poses per step.
+    Returns (scene, losses, final metrics dict with psnr/ssim on pose 0).
+    """
+    from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
+    from pathtracer_gaussiansplatting_tpu.render.tiled import (
+        render_tiled_pallas,
+    )
+    from pathtracer_gaussiansplatting_tpu.utils import metrics as metrics_mod
+
+    config = config or BinningConfig()
+    opt = make_optimizer(lr)
+    opt_state = opt.init(scene)
+    step = make_tiled_train_step(settings, opt, config=config)
+    losses = []
+    targets = [jnp.asarray(t, jnp.float32) for t in targets]
+    for i in range(steps):
+        p = i % len(cameras)
+        scene, opt_state, loss = step(scene, opt_state, cameras[p],
+                                      targets[p])
+        losses.append(float(loss))
+        if progress:
+            progress(i, losses[-1])
+    out = render_tiled_pallas(scene, cameras[0], settings, config)
+    final = dict(
+        psnr=float(metrics_mod.psnr(out["color"], targets[0])),
+        ssim=float(metrics_mod.ssim(out["color"], targets[0])),
+    )
+    return scene, losses, final
+
+
 def fit_scene(scene, rays, target, settings, steps: int = 100,
               lr: float = 5e-3, mesh=None, render_fn=None,
               progress: Optional[Callable] = None):

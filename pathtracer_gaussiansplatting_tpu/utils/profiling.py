@@ -57,6 +57,31 @@ class RaysPerSecondMeter:
         self.t0 = time.perf_counter()
 
 
+def device_memory_stats(print_out: bool = False) -> list:
+    """Per-device HBM usage/limit, MiB (the printGpuMemoryUsage analog,
+    engine.cpp:17-47 — the reference prints VMA heap budgets after each init
+    phase; call this around scene upload / binning to watch HBM).
+    """
+    import jax
+
+    rows = []
+    for d in jax.local_devices():
+        try:
+            s = d.memory_stats() or {}
+        except Exception:
+            s = {}
+        used = s.get("bytes_in_use", 0) / 2**20
+        limit = s.get("bytes_limit", 0) / 2**20
+        rows.append(dict(device=str(d), used_mib=round(used, 1),
+                         limit_mib=round(limit, 1),
+                         peak_mib=round(s.get("peak_bytes_in_use", 0)
+                                        / 2**20, 1)))
+        if print_out:
+            print(f"[mem] {d}: {used:.1f} / {limit:.1f} MiB "
+                  f"(peak {rows[-1]['peak_mib']:.1f})")
+    return rows
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """jax.profiler trace (TensorBoard/Perfetto), best-effort."""

@@ -260,3 +260,23 @@ class TestCaptureEndToEnd:
         assert Image.open(tmp_path / "train" / "r_0.jpg").size == (8, 8)
         pc = load_point_cloud_ply(str(tmp_path / "points3d.ply"))
         assert out["num_points"] == len(pc["positions"]) > 0
+
+    def test_importance_feedback_capture(self, tmp_path):
+        """IMP_HIT capture runs the bootstrap->resample loop (the reference's
+        GPU->CPU->GPU feedback, sampling.cpp:366-434) and concentrates rays
+        where the bootstrap pass found hits."""
+        scene = debug_cube_scene(center=(0.0, 8.0, 0.0), size=8.0, res=4)
+        settings = RenderSettings(max_depth=1, max_contribs=32,
+                                  ambient=(0.1, 0.1, 0.1, 1.0))
+        torus = TorusConfig(num_rays=400)
+        out = capture_scene_data(
+            scene, str(tmp_path), settings, torus=torus,
+            accumulation_steps=1, total_positions=0, capture_images=False,
+            sampling_method="imp_hit", progress=None, chunk=512)
+        uniform_dir = tmp_path / "uniform"
+        out_u = capture_scene_data(
+            scene, str(uniform_dir), settings, torus=torus,
+            accumulation_steps=1, total_positions=0, capture_images=False,
+            sampling_method="uniform", progress=None, chunk=512)
+        # importance sampling should land at least as many hit points
+        assert out["num_points"] >= out_u["num_points"] > 0
