@@ -8,7 +8,8 @@ scaling via jax.sharding. See SURVEY.md for the layer-by-layer mapping.
 """
 
 from pathtracer_gaussiansplatting_tpu.core.camera import (  # noqa: F401
-    Camera, generate_rays, look_at, orthographic_rays, toroidal_c2w,
+    Camera, FreeCamera, generate_rays, look_at, orthographic_rays,
+    toroidal_c2w,
 )
 from pathtracer_gaussiansplatting_tpu.core.torus import (  # noqa: F401
     TorusConfig, torus_rays,

@@ -171,6 +171,77 @@ def orthographic_rays(center, direction, up, extent, width, height) -> Rays:
     return Rays(origins=origins.reshape(-1, 3), directions=dirs.reshape(-1, 3))
 
 
+@dataclasses.dataclass
+class FreeCamera:
+    """Free-fly camera state (reference Camera::freeCameraUpdate,
+    camera.cpp:31-96): yaw/pitch orientation driven by cursor deltas, local
+    WASD+QE translation, speed / mouse-sensitivity / fov modifiers, reset.
+
+    This is the headless analog of the reference's interactive mode: callers
+    (scripts, a viewer loop) feed it input deltas and read out a ``Camera``.
+    Host-side numpy state — it is control logic, never traced.
+    """
+
+    position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 0.0, 3.0], np.float32))
+    yaw_deg: float = -90.0          # looking down -Z, reference default
+    pitch_deg: float = 0.0
+    fov_y_deg: float = 45.0         # GeneralHeaders.h:418-446 default
+    speed: float = 2.5              # units/s
+    sensitivity: float = 0.1        # degrees per cursor count
+
+    def __post_init__(self):
+        self._home = (self.position.copy(), self.yaw_deg, self.pitch_deg,
+                      self.fov_y_deg)
+
+    @property
+    def forward(self) -> np.ndarray:
+        cy, sy = np.cos(np.radians(self.yaw_deg)), np.sin(
+            np.radians(self.yaw_deg))
+        cp, sp = np.cos(np.radians(self.pitch_deg)), np.sin(
+            np.radians(self.pitch_deg))
+        f = np.array([cy * cp, sp, sy * cp], np.float32)
+        return f / np.linalg.norm(f)
+
+    def rotate(self, dx_counts: float, dy_counts: float) -> None:
+        """Cursor-delta look: yaw += dx, pitch += dy, pitch clamped to
+        +/-89 deg (camera.cpp free-mode pitch clamp)."""
+        self.yaw_deg = float(np.mod(self.yaw_deg + dx_counts
+                                    * self.sensitivity, 360.0))
+        self.pitch_deg = float(np.clip(self.pitch_deg + dy_counts
+                                       * self.sensitivity, -89.0, 89.0))
+
+    def move(self, dt: float, forward: float = 0.0, strafe: float = 0.0,
+             ascend: float = 0.0) -> None:
+        """WASD+QE translation in the local frame; inputs in [-1, 1]."""
+        f = self.forward
+        r = np.cross(f, np.array([0.0, 1.0, 0.0], np.float32))
+        r /= max(np.linalg.norm(r), 1e-8)
+        step = self.speed * dt
+        self.position = (self.position + step
+                         * (forward * f + strafe * r
+                            + ascend * np.array([0.0, 1.0, 0.0], np.float32))
+                         ).astype(np.float32)
+
+    def adjust_speed(self, factor: float) -> None:
+        self.speed = float(np.clip(self.speed * factor, 0.01, 100.0))
+
+    def adjust_fov(self, delta_deg: float) -> None:
+        self.fov_y_deg = float(np.clip(self.fov_y_deg + delta_deg,
+                                       10.0, 120.0))
+
+    def reset(self) -> None:
+        """Camera::reset (camera.cpp): back to the construction pose."""
+        pos, yaw, pitch, fov = self._home
+        self.position = pos.copy()
+        self.yaw_deg, self.pitch_deg, self.fov_y_deg = yaw, pitch, fov
+
+    def camera(self, width: int, height: int) -> Camera:
+        eye = jnp.asarray(self.position)
+        return Camera(c2w=look_at(eye, eye + jnp.asarray(self.forward)),
+                      fov_y_deg=self.fov_y_deg, width=width, height=height)
+
+
 def view_matrix(camera: Camera):
     """World-to-camera matrix (the reference's lookAt view matrix)."""
     r = camera.c2w[:3, :3]

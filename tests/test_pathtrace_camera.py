@@ -99,3 +99,55 @@ class TestPathtraceCamera:
                                         packets=pk, config=cfg))
         assert np.isfinite(a).all() and np.isfinite(b).all()
         assert np.abs(a - b).max() > 0  # different sample keys differ
+
+
+class TestFreeCamera:
+    """Free-fly mode parity (camera.cpp:31-96)."""
+
+    def test_default_looks_down_neg_z(self):
+        from pathtracer_gaussiansplatting_tpu.core.camera import FreeCamera
+
+        fc = FreeCamera()
+        np.testing.assert_allclose(fc.forward, [0.0, 0.0, -1.0], atol=1e-6)
+        cam = fc.camera(8, 8)
+        np.testing.assert_allclose(np.asarray(-cam.c2w[:3, 2]),
+                                   [0.0, 0.0, -1.0], atol=1e-6)
+
+    def test_pitch_clamp_and_rotate(self):
+        from pathtracer_gaussiansplatting_tpu.core.camera import FreeCamera
+
+        fc = FreeCamera()
+        fc.rotate(0.0, 10_000.0)  # huge cursor delta
+        assert fc.pitch_deg == 89.0
+        fc.rotate(900.0, 0.0)  # yaw 90 deg at default sensitivity 0.1
+        np.testing.assert_allclose(fc.yaw_deg % 360.0, 0.0, atol=1e-6)
+
+    def test_move_in_local_frame(self):
+        from pathtracer_gaussiansplatting_tpu.core.camera import FreeCamera
+
+        fc = FreeCamera()
+        fc.move(dt=1.0, forward=1.0)  # toward -Z at speed 2.5
+        np.testing.assert_allclose(fc.position, [0.0, 0.0, 0.5], atol=1e-6)
+        fc.move(dt=1.0, strafe=1.0)  # right = forward x up = +X
+        np.testing.assert_allclose(fc.position, [2.5, 0.0, 0.5], atol=1e-6)
+
+    def test_reset_and_modifiers(self):
+        from pathtracer_gaussiansplatting_tpu.core.camera import FreeCamera
+
+        fc = FreeCamera()
+        fc.adjust_fov(30.0)
+        fc.adjust_speed(4.0)
+        fc.rotate(50.0, -20.0)
+        fc.move(1.0, forward=-1.0, ascend=1.0)
+        assert fc.fov_y_deg == 75.0 and fc.speed == 10.0
+        fc.reset()
+        assert fc.fov_y_deg == 45.0 and fc.pitch_deg == 0.0
+        np.testing.assert_allclose(fc.position, [0.0, 0.0, 3.0])
+
+    def test_rays_flow_through_renderer(self):
+        from pathtracer_gaussiansplatting_tpu.core.camera import FreeCamera
+
+        fc = FreeCamera()
+        rays = generate_rays(fc.camera(4, 4))
+        assert rays.origins.shape == (16, 3)
+        assert np.isfinite(np.asarray(rays.directions)).all()
