@@ -28,6 +28,40 @@ RAY_AXIS = "rays"
 GAUSS_AXIS = "gauss"
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Bootstrap multi-host execution (SURVEY.md §5 distributed backend).
+
+    Call once at program start on every host, before any jax op. With no
+    arguments, jax.distributed.initialize auto-detects the cluster from the
+    TPU pod-slice / cluster-manager environment; explicit args override for
+    manual (e.g. localhost multi-process test) setups. After this,
+    ``jax.devices()`` spans all hosts and :func:`make_mesh` returns one
+    global mesh — shardings are unchanged, collectives ride ICI within a
+    slice and DCN across. Returns this host's process index.
+
+    Single-process environments (no coordinator, 1 process) skip
+    initialization and return 0, so the same entry point runs everywhere.
+    """
+    if coordinator_address is None and num_processes in (None, 1):
+        import os
+
+        if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS")
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
+            return 0  # single host, nothing to do
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index()
+
+
 def make_mesh(shape: Optional[Tuple[int, int]] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """Create a (rays, gauss) mesh over the available devices.

@@ -166,3 +166,16 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestMultihostBootstrap:
+    def test_single_host_noop(self, monkeypatch):
+        from pathtracer_gaussiansplatting_tpu.parallel.mesh import (
+            initialize_multihost,
+        )
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(var, raising=False)
+        assert initialize_multihost() == 0
+        assert initialize_multihost(num_processes=1) == 0
