@@ -54,16 +54,21 @@ def main():
         print(f"{name:>28s}: {dt * 1e3:8.2f} ms")
         return out
 
-    proj_fn = jax.jit(lambda: project_gaussians(scene, cam, cfg))
-    proj = timeit("project_gaussians", proj_fn)
+    # Scene/camera pass through the jit boundary (matching bench.py and the
+    # prepare_tiles row): zero-arg closures would bake them as compile-time
+    # constants, letting XLA constant-fold part of the stage and duplicating
+    # the arrays into each executable's device memory.
+    proj_fn = jax.jit(lambda s, c: project_gaussians(s, c, cfg))
+    proj = timeit("project_gaussians", lambda: proj_fn(scene, cam))
     binfn = jax.jit(lambda p: bin_gaussians(p, tiles_x, tiles_y, cfg))
     tile_idx, tile_mask, _ = timeit("bin_gaussians(sort)", lambda: binfn(proj))
     origin = cam.c2w[:3, 3]
-    feats_fn = jax.jit(lambda: _packet_features(scene, origin, settings))
-    feats = timeit("_packet_features", feats_fn)
-    pk_fn = jax.jit(lambda f, ti, tm: build_tile_packets(
-        scene, f, origin, ti, tm))
-    timeit("build_tile_packets", lambda: pk_fn(feats, tile_idx, tile_mask))
+    feats_fn = jax.jit(lambda s, o: _packet_features(s, o, settings))
+    feats = timeit("_packet_features", lambda: feats_fn(scene, origin))
+    pk_fn = jax.jit(lambda s, f, o, ti, tm: build_tile_packets(
+        s, f, o, ti, tm))
+    timeit("build_tile_packets",
+           lambda: pk_fn(scene, feats, origin, tile_idx, tile_mask))
     timeit("prepare_tiles (total)",
            lambda: prepare_tiles(scene, cam, settings, cfg))
     n_valid = int(jnp.sum(proj["valid"]))
@@ -71,10 +76,18 @@ def main():
     r = np.asarray(proj["radius"])
     v = np.asarray(proj["valid"])
     ts = cfg.tile_size
-    bw = np.ceil(2 * r[v] / ts) + 1
-    print(f"valid gaussians: {n_valid}/{n} "
-          f"({100.0 * n_valid / n:.1f}%), mean tiles/g (approx): "
-          f"{float(np.mean(bw * bw)):.2f}")
+    if n_valid > 0:
+        # Clamp per-Gaussian coverage by the max_tiles_per_gaussian cap that
+        # bin_gaussians applies (and ignore the screen-edge bbox clamp, so
+        # this remains a slight overestimate of the sorted pair count).
+        bw = np.ceil(2 * r[v] / ts) + 1
+        cov = np.minimum(bw * bw, cfg.max_tiles_per_gaussian)
+        print(f"valid gaussians: {n_valid}/{n} "
+              f"({100.0 * n_valid / n:.1f}%), mean tiles/g "
+              f"(capped at {cfg.max_tiles_per_gaussian}): "
+              f"{float(np.mean(cov)):.2f}")
+    else:
+        print(f"valid gaussians: 0/{n}")
 
 
 if __name__ == "__main__":

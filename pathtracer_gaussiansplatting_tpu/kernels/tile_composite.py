@@ -1,34 +1,69 @@
-"""Pallas TPU kernel: fused per-tile ray-Gaussian compositing.
+"""Pallas TPU kernel: fused per-tile ray-Gaussian compositing (v2).
 
 This is the hot forward kernel (the role of raygen_camera.rgen +
-closesthit.rchit's hit loop on the GPU). The math is restructured so the MXU
-does the heavy lifting — for a tile with P pixels and K depth-sorted
-Gaussians:
+closesthit.rchit's hit loop on the GPU — one vkCmdTraceRaysKHR dispatch
+covers all pixels, engine.cpp:1971-1976). For a tile with P pixels and K
+depth-sorted Gaussians:
 
     q_pk(t) = a_pk t^2 + 2 b_pk t + c_k          (ray-Gaussian quadratic)
-    a_pk = d_p^T Q_k d_p   = [d^2 terms](P,6) @ Q6(6,K)      <- MXU
-    b_pk = d_p^T Q_k(o-mu) = D(P,3) @ Wb(3,K)                 <- MXU
-    c_k  = (o-mu)^T Q_k (o-mu)                   (precomputed per Gaussian)
+    a_pk = d_p^T Q_k d_p,  b_pk = d_p^T Q_k (o-mu_k),
+    c_k  = (o-mu_k)^T Q_k (o-mu_k)               (precomputed per Gaussian)
 
-with Q_k = M_k^T M_k the world-space inverse covariance. Then
-alpha = opacity * exp(-q(t*)/2) with cutoffs, transmittance by exclusive
-cumsum of log1p(-alpha) along K, and the feature composite
-out(P,F) = W(P,K) @ feats(K,F) is a third MXU matmul.
+with Q_k = M_k^T M_k the world-space inverse covariance. alpha =
+opacity * exp(-q(t*)/2) with cutoffs, exclusive transmittance by a
+cumulative *product* scan of (1-alpha) along K, and the feature composite
+out(P,F) = W(P,K) @ feats(K,F) on the MXU.
 
-The packet layout is built once per frame by :func:`build_tile_packets` from
-the binning tables (ops/binning.py) — a pure gather, done by XLA.
+v2 design notes (what changed from the round-1 kernel and why — the
+round-1 version ran one tile per grid step and was launch-overhead bound
+at ~6 us/step, ~1-2% MFU):
 
-The public entry :func:`tile_composite` carries a custom VJP whose backward
-is a second fused Pallas kernel (:func:`_composite_bwd_math`): it recomputes
-the forward per tile in VMEM and applies the analytic compositing VJP
-(suffix-sum form), so no (T,P,K)-sized residual ever lands in HBM. Both
-kernels are allclose-tested against the pure-JAX reference semantics
-(render/tiled.tile_composite_reference) and its jax.vjp in interpret mode.
+  * MANY TILES PER GRID STEP (``block_tiles``): the per-step pipeline
+    overhead (DMA descriptor setup per stream) is amortized across a
+    static in-kernel loop over tiles.
+  * STREAM LAYOUTS: per-Gaussian streams keep a >=128 minor dim — geom
+    (T,16,K) packs [q6(6), Q(o-mu)(3), c, opac] as rows and features ride
+    channel-major (T,F,K). Per-PIXEL streams (dirs (T,P,3), out
+    (T,P,F+2)) keep their tiny minor dim instead: their VMEM blocks pad
+    to 128 lanes (~131 KB/tile/stream, bounded by block_tiles=8), which
+    measured far cheaper than transposing to lane-packed form in-kernel —
+    Mosaic lowers an (8,256) relayout at ~1.2 us/tile, 3x the whole rest
+    of the tile's compute.
+  * EXACT-F32 QUADRATICS ON THE VPU: a and b are built from 9
+    rank-1 broadcast FMAs ((P,1) x (1,K)) instead of MXU matmuls — the
+    Mosaic MXU truncates f32 operands to bf16 (Precision.HIGH is
+    unsupported; HIGHEST costs 6 passes), and exp(quadratic) amplifies
+    that error catastrophically. Only the final W @ feats composite (bf16-
+    safe magnitudes) uses the MXU, at HIGHEST.
+  * K-CHUNKED EARLY TERMINATION: K is processed in chunks of 128 carrying
+    per-pixel transmittance; a chunk is skipped (pl.when) once every
+    pixel's transmittance falls below settings.transmittance_min (the
+    front-to-back saturation exit of every 3DGS rasterizer, and the
+    ray-termination analog of raygen_camera.rgen's RR) or once the chunk
+    start passes the tile's binned count (empty/sparse tiles cost ~0).
+  * PRODUCT-SPACE COMPOSITING: exclusive cumprod of (1-alpha) via a
+    Hillis-Steele scan of multiplies — log1p/exp per element (round 1's
+    log-space scan) bought nothing numerically at alpha <= 0.999 and cost
+    two transcendentals per (P,K) element.
+
+The packet layout is built once per (scene, pose) by
+:func:`build_tile_packets` from the binning tables (ops/binning.py).
+
+Differentiation: the custom VJP lives on the *packed* form
+(:func:`_packed_composite`); the public :func:`tile_composite` is plain
+XLA (transposes/slices) around it, so cotangents for the unpacked outputs
+assemble automatically. The backward is a second fused Pallas kernel
+(:func:`_bwd_kernel`): it recomputes the forward per tile in VMEM and
+applies the analytic compositing VJP (suffix-sum form), so no (T,P,K)
+residual ever lands in HBM. Both kernels are allclose-tested against the
+pure-JAX reference semantics (:func:`_tile_composite_xla`, itself tested
+against render/tiled.tile_composite_reference) and its jax.vjp in
+interpret mode.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import math
 
 import jax
 import jax.numpy as jnp
@@ -36,10 +71,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pathtracer_gaussiansplatting_tpu.core.types import GaussianScene, RenderSettings
-from pathtracer_gaussiansplatting_tpu.ops import gaussians as gops
 from pathtracer_gaussiansplatting_tpu.ops.quaternions import (
     normalize as quat_normalize,
 )
+
+# Geometry packet row indices (geom (T, 16, K)).
+_ROWS_Q6 = slice(0, 6)      # Q upper triangle [q00,q11,q22, 2q01,2q02,2q12]
+_ROWS_WB = slice(6, 9)      # Q (o - mu)
+_ROW_C = 9                  # (o-mu)^T Q (o-mu)
+_ROW_OPAC = 10              # opacity (0 where masked)
+GEOM_ROWS = 16              # padded to a multiple of 8 sublanes
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def build_tile_packets(scene: GaussianScene, feats_all, origin, tile_idx,
@@ -52,11 +97,9 @@ def build_tile_packets(scene: GaussianScene, feats_all, origin, tile_idx,
       tile_idx/tile_mask: (T, K) binning tables.
 
     Returns dict of arrays:
-      q6:   (T, 6, K) upper-triangular Q entries [xx,yy,zz,xy,xz,yz scaled].
-      wb:   (T, 3, K) Q(o-mu).
-      c:    (T, K) (o-mu)^T Q (o-mu).
-      opac: (T, K) opacity (0 where masked).
-      feats:(T, K, F).
+      geom:   (T, 16, K) packed rows (see _ROWS_* above).
+      featsT: (T, F, K) per-Gaussian features, channel-major.
+      count:  (T,) f32 — 1 + index of the last valid slot (chunk skipping).
     """
     # Structure-of-arrays construction: every intermediate is an (N,)
     # column, so the TPU lane dimension is N. The former (N,3,3) einsum
@@ -104,125 +147,34 @@ def build_tile_packets(scene: GaussianScene, feats_all, origin, tile_idx,
     if width < 128:
         table = jnp.pad(table, ((0, 0), (0, 128 - width)))
     rows = table[tile_idx][..., :width]           # (T, K, 11+F)
-    opac = jnp.where(tile_mask, rows[..., 10], 0.0)
-    return dict(
-        q6=jnp.swapaxes(rows[..., 0:6], 1, 2),     # (T,6,K)
-        wb=jnp.swapaxes(rows[..., 6:9], 1, 2),     # (T,3,K)
-        c=rows[..., 9],                            # (T,K)
-        opac=opac,                                 # (T,K)
-        feats=rows[..., 11:11 + f],                # (T,K,F)
-    )
+    opac = jnp.where(tile_mask, rows[..., _ROW_OPAC], 0.0)
+    geom = jnp.concatenate(
+        [rows[..., :_ROW_OPAC], opac[..., None]], axis=-1)  # (T, K, 11)
+    geom = jnp.swapaxes(geom, 1, 2)                          # (T, 11, K)
+    geom = jnp.pad(geom, ((0, 0), (0, GEOM_ROWS - 11), (0, 0)))
+    featsT = jnp.swapaxes(rows[..., 11:11 + f], 1, 2)        # (T, F, K)
+    # Last valid slot + 1 (robust to non-contiguous masks), for chunk skip.
+    k = tile_mask.shape[-1]
+    slot1 = jnp.arange(1, k + 1, dtype=jnp.float32)
+    count = jnp.max(jnp.where(tile_mask, slot1[None, :], 0.0), axis=-1)
+    return dict(geom=geom, featsT=featsT, count=count)
 
 
-def _dir_basis(dirs):
-    """(T, P, 3) -> (T, P, 6) quadratic monomials [dx2,dy2,dz2,dxdy,dxdz,dydz]."""
-    dx, dy, dz = dirs[..., 0], dirs[..., 1], dirs[..., 2]
-    return jnp.stack([dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz],
-                     axis=-1)
+def _cumprod_excl(x):
+    """Exclusive cumprod along the last axis (Hillis-Steele doubling).
 
-
-def _cumsum_last(x):
-    """Inclusive cumsum along the last axis via Hillis-Steele doubling.
-
-    Mosaic has no cumsum primitive; log2(K) masked roll-adds are pure
-    VPU work and lower cleanly (and XLA fuses them on the reference path,
-    keeping both paths numerically identical).
-    """
+    Mosaic has no scan primitive; log2(K) masked shift-multiplies are pure
+    VPU work and lower cleanly (the XLA oracle path uses the identical
+    expansion, keeping both paths numerically identical)."""
     k = x.shape[-1]
-    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    y = jnp.concatenate([ones[..., :1], x[..., :-1]], axis=-1)
     shift = 1
     while shift < k:
-        shifted = jnp.concatenate(
-            [zeros[..., :shift], x[..., :-shift]], axis=-1)
-        x = x + shifted
+        y = y * jnp.concatenate([ones[..., :shift], y[..., :-shift]],
+                                axis=-1)
         shift *= 2
-    return x
-
-
-def _composite_math(dq, d3, q6, wb, c, opac, feats, settings: RenderSettings):
-    """Shared per-tile math (traced both by XLA reference and Pallas kernel).
-
-    dq: (P, 6), d3: (P, 3), q6: (6, K), wb: (3, K), c: (K,), opac: (K,),
-    feats: (K, F). Returns (out (P, F), alpha_acc (P,), depth (P,)).
-    """
-    # precision=HIGHEST: the Mosaic MXU truncates f32 operands to bf16 by
-    # default, which is catastrophic inside exp(quadratic); bf16x3 passes
-    # restore ~f32 accuracy at modest cost.
-    hi = jax.lax.Precision.HIGHEST
-    a = jnp.maximum(jnp.dot(dq, q6, preferred_element_type=jnp.float32,
-                            precision=hi), 1e-12)             # (P,K)
-    b = jnp.dot(d3, wb, preferred_element_type=jnp.float32,
-                precision=hi)                                 # (P,K)
-    t = jnp.clip(-b / a, settings.t_min, settings.t_max)
-    qv = a * t * t + 2.0 * b * t + c[None, :]
-    gval = jnp.exp(-0.5 * jnp.maximum(qv, 0.0))
-    alpha = opac[None, :] * gval
-    cut = jnp.exp(-0.5 * settings.sigma_cut * settings.sigma_cut)
-    alpha = jnp.where(gval < cut, 0.0, alpha)
-    alpha = jnp.where(alpha < settings.alpha_min, 0.0,
-                      jnp.minimum(alpha, settings.alpha_max))
-    # Exclusive transmittance via cumsum in log space (alpha <= 0.999
-    # keeps log1p finite).
-    log_om = jnp.log1p(-alpha)
-    cum = _cumsum_last(log_om)
-    trans_incl = jnp.exp(cum)
-    # exclusive transmittance: T_excl = T_incl / (1 - alpha)
-    trans_excl = jnp.exp(cum - log_om)
-    w = trans_excl * alpha                                    # (P,K)
-    out = jnp.dot(w, feats, preferred_element_type=jnp.float32,
-                  precision=hi)
-    k = alpha.shape[-1]
-    # static lax.slice: integer indexing would lower to dynamic_slice,
-    # which Mosaic rejects
-    last = jax.lax.slice(trans_incl, (0, k - 1), (trans_incl.shape[0], k))
-    alpha_acc = 1.0 - last[:, 0]
-    depth = jnp.sum(w * t, axis=-1) / jnp.maximum(alpha_acc, 1e-8)
-    return out, alpha_acc, depth
-
-
-def _kernel(dq_ref, d3_ref, q6_ref, wb_ref, c_ref, opac_ref, feats_ref,
-            out_ref, acc_ref, depth_ref, *, settings):
-    out, acc, depth = _composite_math(
-        dq_ref[0], d3_ref[0], q6_ref[0], wb_ref[0], c_ref[0, 0],
-        opac_ref[0, 0], feats_ref[0], settings)
-    out_ref[0] = out
-    acc_ref[0] = acc[:, None]
-    depth_ref[0] = depth[:, None]
-
-
-def _tile_composite_pallas(packets, dirs, settings: RenderSettings,
-                           interpret: bool = False):
-    # Mosaic only compiles for TPU; on the CPU backend fall back to the
-    # interpreter automatically (tests, debugging).
-    interpret = interpret or jax.default_backend() == "cpu"
-    t_total, k = packets["c"].shape
-    p = dirs.shape[1]
-    f = packets["feats"].shape[-1]
-    dq = _dir_basis(dirs)                                     # (T,P,6)
-
-    def spec(block):
-        # Mosaic needs each block's trailing dims to tile the array (or equal
-        # it); per-tile (T,K) scalars ride as (T,1,K), per-pixel outputs as
-        # (T,P,1).
-        return pl.BlockSpec((1,) + block, lambda i: (i,) + (0,) * len(block),
-                            memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_kernel, settings=settings)
-    out, acc, depth = pl.pallas_call(
-        kernel,
-        grid=(t_total,),
-        in_specs=[spec((p, 6)), spec((p, 3)), spec((6, k)), spec((3, k)),
-                  spec((1, k)), spec((1, k)), spec((k, f))],
-        out_specs=[spec((p, f)), spec((p, 1)), spec((p, 1))],
-        out_shape=[
-            jax.ShapeDtypeStruct((t_total, p, f), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, p, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(dq, dirs, packets["q6"], packets["wb"], packets["c"][:, None, :],
-      packets["opac"][:, None, :], packets["feats"])
-    return out, acc[..., 0], depth[..., 0]
+    return y
 
 
 def _suffix_sum_last(x):
@@ -231,187 +183,348 @@ def _suffix_sum_last(x):
     zeros = jnp.zeros_like(x)
     shift = 1
     while shift < k:
-        shifted = jnp.concatenate(
-            [x[..., shift:], zeros[..., :shift]], axis=-1)
-        x = x + shifted
+        x = x + jnp.concatenate([x[..., shift:], zeros[..., :shift]],
+                                axis=-1)
         shift *= 2
     return x
 
 
-def _composite_bwd_math(dq, d3, q6, wb, c, opac, feats, go, ga, gd,
-                        settings: RenderSettings):
-    """Analytic per-tile backward of :func:`_composite_math`.
+def _dir_cols(dpt):
+    """(P, 3) dir block -> the 9 per-pixel columns
+    [dx, dy, dz, dx2, dy2, dz2, dxdy, dxdz, dydz], each (P, 1)."""
+    dx, dy, dz = dpt[:, 0:1], dpt[:, 1:2], dpt[:, 2:3]
+    return (dx, dy, dz, dx * dx, dy * dy, dz * dz,
+            dx * dy, dx * dz, dy * dz)
 
-    Recomputes the forward in-register (VMEM) — no residuals ever touch HBM,
-    which is the whole point vs the autodiff path (a (T,P,K) residual at
-    2500 tiles x 256 px x 256 K is ~650 MB *per intermediate*).
 
-    Key identities:
-      * envelope: at the peak t* = -b/a, dq/dt = 2(at+b) = 0, so
-        d_qv/da = t^2 and d_qv/db = 2t with no dt-chain; the dt-chain only
-        matters for the depth output and for clipped t (where dt/da = 0).
-      * compositing: w_k = alpha_k exp(e_k), e_k = sum_{j<k} log(1-alpha_j)
-        so d_log_om_j = suffix_{k>j}(d_e_k), one reverse scan.
+def _quadratic_ab(cols, g):
+    """a, b fields (P, K) from rank-1 broadcast FMAs (exact f32, no MXU).
 
-    Args mirror _composite_math plus cotangents go (P,F), ga (P,), gd (P,).
-    Returns (d_dirs (P,3), d_q6, d_wb, d_c, d_opac, d_feats).
-    """
-    hi = jax.lax.Precision.HIGHEST
+    cols: the 9 (P,1) columns of :func:`_dir_cols`; g: (16, K) geom rows."""
+    dx, dy, dz, dd0, dd1, dd2, dd3, dd4, dd5 = cols
+    a = (dd0 * g[0:1] + dd1 * g[1:2] + dd2 * g[2:3]
+         + dd3 * g[3:4] + dd4 * g[4:5] + dd5 * g[5:6])
+    b = dx * g[6:7] + dy * g[7:8] + dz * g[8:9]
+    return jnp.maximum(a, 1e-12), b
 
-    def dot(x, y):
-        return jnp.dot(x, y, preferred_element_type=jnp.float32, precision=hi)
 
-    # ---- forward recompute ----
-    a = jnp.maximum(dot(dq, q6), 1e-12)                        # (P,K)
-    b = dot(d3, wb)                                            # (P,K)
+def _alpha_of(a, b, c, opac, settings: RenderSettings):
+    """alpha(P,K), peak t(P,K), and auxiliaries shared by fwd and bwd."""
     t_raw = -b / a
     t = jnp.clip(t_raw, settings.t_min, settings.t_max)
-    t_in = (t_raw > settings.t_min) & (t_raw < settings.t_max)
-    qv = a * t * t + 2.0 * b * t + c[None, :]
+    qv = (a * t + 2.0 * b) * t + c
     gval = jnp.exp(-0.5 * jnp.maximum(qv, 0.0))
-    alpha0 = opac[None, :] * gval
-    cut = jnp.exp(-0.5 * settings.sigma_cut * settings.sigma_cut)
+    alpha0 = opac * gval
+    cut = math.exp(-0.5 * settings.sigma_cut * settings.sigma_cut)
     live = (gval >= cut) & (alpha0 >= settings.alpha_min)
     alpha = jnp.where(live, jnp.minimum(alpha0, settings.alpha_max), 0.0)
-    log_om = jnp.log1p(-alpha)
-    cum = _cumsum_last(log_om)
-    t_excl = jnp.exp(cum - log_om)
-    w = t_excl * alpha                                         # (P,K)
-    t_last = jnp.exp(cum[:, -1:])                              # (P,1)
-    alpha_acc = 1.0 - t_last[:, 0]
-    denom = jnp.maximum(alpha_acc, 1e-8)
-    s_depth = jnp.sum(w * t, axis=-1)
-
-    # ---- backward ----
-    d_feats = dot(w.T, go)                                     # (K,F)
-    d_w = dot(go, feats.T)                                     # (P,K)
-    d_s = gd / denom                                           # (P,)
-    live_acc = alpha_acc > 1e-8
-    d_alpha_acc = ga + jnp.where(
-        live_acc, -gd * s_depth / (denom * denom), 0.0)
-    d_w = d_w + d_s[:, None] * t
-    d_t = d_s[:, None] * w                                     # depth chain
-    d_alpha = d_w * t_excl
-    d_e = d_w * w
-    # e_k = cum_k - log_om_k: d_log_om_j = sum_{k>j} d_e_k (strict suffix).
-    suf = _suffix_sum_last(d_e)
-    k = d_e.shape[-1]
-    d_log_om = jnp.concatenate(
-        [suf[..., 1:], jnp.zeros_like(suf[..., :1])], axis=-1)
-    # alpha_acc = 1 - exp(sum_k log_om_k): every k gets -d_alpha_acc*T_last.
-    d_log_om = d_log_om - (d_alpha_acc[:, None] * t_last)
-    d_alpha = d_alpha - d_log_om / jnp.maximum(1.0 - alpha, 1e-6)
-    grad_live = live & (alpha0 <= settings.alpha_max)
-    d_alpha0 = jnp.where(grad_live, d_alpha, 0.0)
-    d_opac = jnp.sum(d_alpha0 * gval, axis=0)                  # (K,)
-    d_g = d_alpha0 * opac[None, :]
-    d_qv = jnp.where(qv > 0.0, -0.5 * d_g * gval, 0.0)
-    # qv chain: dt picks up 2(at+b) (zero at the interior peak, nonzero at
-    # clipped t); a/b/c get the direct partials.
-    d_t = d_t + d_qv * 2.0 * (a * t + b)
-    d_a = d_qv * t * t + jnp.where(t_in, d_t * (b / (a * a)), 0.0)
-    d_b = d_qv * 2.0 * t + jnp.where(t_in, -d_t / a, 0.0)
-    d_c = jnp.sum(d_qv, axis=0)                                # (K,)
-    d_q6 = dot(dq.T, d_a)                                      # (6,K)
-    d_wb = dot(d3.T, d_b)                                      # (3,K)
-    d_dq = dot(d_a, q6.T)                                      # (P,6)
-    d_d3 = dot(d_b, wb.T)                                      # (P,3)
-    # dq basis chain: dq = [dx2, dy2, dz2, dxdy, dxdz, dydz].
-    dx, dy, dz = d3[:, 0], d3[:, 1], d3[:, 2]
-    d_dirs = jnp.stack([
-        2.0 * dx * d_dq[:, 0] + dy * d_dq[:, 3] + dz * d_dq[:, 4],
-        2.0 * dy * d_dq[:, 1] + dx * d_dq[:, 3] + dz * d_dq[:, 5],
-        2.0 * dz * d_dq[:, 2] + dx * d_dq[:, 4] + dy * d_dq[:, 5],
-    ], axis=-1) + d_d3
-    return d_dirs, d_q6, d_wb, d_c, d_opac, d_feats
+    return alpha, t, t_raw, qv, gval, alpha0, live
 
 
-def _bwd_kernel(dq_ref, d3_ref, q6_ref, wb_ref, c_ref, opac_ref, feats_ref,
-                go_ref, ga_ref, gd_ref,
-                ddirs_ref, dq6_ref, dwb_ref, dc_ref, dopac_ref, dfeats_ref,
-                *, settings):
-    d_dirs, d_q6, d_wb, d_c, d_opac, d_feats = _composite_bwd_math(
-        dq_ref[0], d3_ref[0], q6_ref[0], wb_ref[0], c_ref[0, 0],
-        opac_ref[0, 0], feats_ref[0], go_ref[0], ga_ref[0][:, 0],
-        gd_ref[0][:, 0], settings)
-    ddirs_ref[0] = d_dirs
-    dq6_ref[0] = d_q6
-    dwb_ref[0] = d_wb
-    dc_ref[0] = d_c[None, :]
-    dopac_ref[0] = d_opac[None, :]
-    dfeats_ref[0] = d_feats
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _tile_composite_bwd_pallas(packets, dirs, cot, settings: RenderSettings,
-                               interpret: bool = False):
+def _dotT(x, y):
+    """(P, K) x (F, K) -> (P, F): contract the shared minor (lane) dim."""
+    return jax.lax.dot_general(x, y, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_HI)
+
+
+def _dotP(x, y):
+    """(P, M) x (P, K) -> (M, K): contract the shared major dim."""
+    return jax.lax.dot_general(x, y, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_HI)
+
+
+def _fwd_kernel(count_ref, dirs_ref, geom_ref, feats_ref, out_ref,
+                acc_ref, trans_ref, *, settings, bt, kc, fp, p):
+    n_chunks = geom_ref.shape[-1] // kc
+    for bi in range(bt):
+        cols = _dir_cols(dirs_ref[bi])                     # (P, 3) block
+        geom = geom_ref[bi]                                # (16, K)
+        feats = feats_ref[bi]                              # (FP, K)
+        trans_ref[:] = jnp.ones((p, 1), jnp.float32)
+        acc_ref[:] = jnp.zeros((p, fp + 8), jnp.float32)
+        for ci in range(n_chunks):
+            start = ci * kc
+            alive = count_ref[0, 0, bi] > float(start)
+            if ci > 0:  # chunk 0 always runs if non-empty; trans starts at 1
+                alive &= (jnp.max(trans_ref[:])
+                          > settings.transmittance_min)
+
+            @pl.when(alive)
+            def _(start=start):
+                g = geom[:, start:start + kc]
+                a, b = _quadratic_ab(cols, g)
+                alpha, t, *_ = _alpha_of(a, b, g[_ROW_C:_ROW_C + 1],
+                                         g[_ROW_OPAC:_ROW_OPAC + 1],
+                                         settings)
+                om = 1.0 - alpha
+                excl = _cumprod_excl(om)                   # (P, KC)
+                w = trans_ref[:] * excl * alpha
+                contrib = _dotT(w, feats[:, start:start + kc])  # (P, FP)
+                acc_ref[:, :fp] += contrib
+                acc_ref[:, fp:fp + 1] += jnp.sum(w * t, axis=-1,
+                                                 keepdims=True)
+                trans_ref[:] *= excl[:, kc - 1:kc] * om[:, kc - 1:kc]
+        alpha_acc = 1.0 - trans_ref[:]                     # (P, 1)
+        depth = acc_ref[:, fp:fp + 1] / jnp.maximum(alpha_acc, 1e-8)
+        out_ref[bi] = jnp.concatenate(
+            [acc_ref[:, :fp], alpha_acc, depth], axis=-1)  # (P, FP+2)
+
+
+def _bwd_kernel(count_ref, dirs_ref, geom_ref, feats_ref, cot_ref,
+                ddirs_ref, dgeom_ref, dfeats_ref, *, settings, bt, fp, p):
+    for bi in range(bt):
+        cols = _dir_cols(dirs_ref[bi])                     # (P, 3) block
+        dx, dy, dz = cols[0], cols[1], cols[2]
+        g = geom_ref[bi]                                   # (16, K)
+        feats = feats_ref[bi]                              # (FP, K)
+        cot = cot_ref[bi]                                  # (P, FP+2)
+        go = cot[:, :fp]                                   # (P, FP)
+        ga = cot[:, fp:fp + 1]                             # (P, 1)
+        gd = cot[:, fp + 1:fp + 2]                         # (P, 1)
+
+        # ---- forward recompute (full K, in VMEM) ----
+        a, b = _quadratic_ab(cols, g)
+        c = g[_ROW_C:_ROW_C + 1]
+        opac = g[_ROW_OPAC:_ROW_OPAC + 1]
+        alpha, t, t_raw, qv, gval, alpha0, live = _alpha_of(
+            a, b, c, opac, settings)
+        t_in = (t_raw > settings.t_min) & (t_raw < settings.t_max)
+        om = 1.0 - alpha
+        excl = _cumprod_excl(om)                           # T_excl (P, K)
+        w = excl * alpha
+        kk = w.shape[-1]
+        t_last = excl[:, kk - 1:kk] * om[:, kk - 1:kk]     # (P, 1)
+        alpha_acc = 1.0 - t_last
+        denom = jnp.maximum(alpha_acc, 1e-8)
+        s_depth = jnp.sum(w * t, axis=-1, keepdims=True)   # (P, 1)
+
+        # ---- backward ----
+        # Feature/composite chain. Pad rows of feats are zero, so the
+        # alpha/depth rows that overlap go's padding contribute nothing to
+        # d_w; the symmetric contamination of d_featsT's pad rows is
+        # discarded by the pad-VJP outside the kernel.
+        d_featsT = _dotP(go, w)                            # (FP, K)
+        d_w = jnp.dot(go, feats, preferred_element_type=jnp.float32,
+                      precision=_HI)                       # (P, K)
+        d_s = gd / denom
+        live_acc = alpha_acc > 1e-8
+        d_alpha_acc = ga + jnp.where(
+            live_acc, -gd * s_depth / (denom * denom), 0.0)
+        d_w = d_w + d_s * t
+        d_t = d_s * w                                      # depth chain
+        d_alpha = d_w * excl
+        # w_k = alpha_k exp(e_k), e_k = sum_{j<k} log(1-alpha_j):
+        # d_log_om_j = sum_{k>j} d_e_k (strict suffix), one reverse scan.
+        d_e = d_w * w
+        suf = _suffix_sum_last(d_e)
+        d_log_om = jnp.concatenate(
+            [suf[:, 1:], jnp.zeros_like(suf[:, :1])], axis=-1)
+        # alpha_acc = 1 - prod_k (1-alpha_k): every k gets -d_aa * T_last.
+        d_log_om = d_log_om - d_alpha_acc * t_last
+        d_alpha = d_alpha - d_log_om / jnp.maximum(om, 1e-6)
+        grad_live = live & (alpha0 <= settings.alpha_max)
+        d_alpha0 = jnp.where(grad_live, d_alpha, 0.0)
+        d_opac = jnp.sum(d_alpha0 * gval, axis=0, keepdims=True)  # (1, K)
+        d_g = d_alpha0 * opac
+        d_qv = jnp.where(qv > 0.0, -0.5 * d_g * gval, 0.0)
+        # qv chain: dt picks up 2(at+b) (zero at the interior peak, nonzero
+        # at clipped t); a/b/c get the direct partials.
+        d_t = d_t + d_qv * 2.0 * (a * t + b)
+        d_a = d_qv * t * t + jnp.where(t_in, d_t * (b / (a * a)), 0.0)
+        d_b = d_qv * 2.0 * t + jnp.where(t_in, -d_t / a, 0.0)
+        d_c = jnp.sum(d_qv, axis=0, keepdims=True)         # (1, K)
+
+        mono6 = jnp.concatenate(cols[3:9], axis=-1)        # (P, 6)
+        d3 = jnp.concatenate(cols[0:3], axis=-1)           # (P, 3)
+        d_q6 = _dotP(mono6, d_a)                           # (6, K)
+        d_wb = _dotP(d3, d_b)                              # (3, K)
+        d_dq = _dotT(d_a, g[_ROWS_Q6])                     # (P, 6)
+        d_d3 = _dotT(d_b, g[_ROWS_WB])                     # (P, 3)
+        # monomial chain: dd = [dx2, dy2, dz2, dxdy, dxdz, dydz].
+        d_dirs = jnp.concatenate([
+            2.0 * dx * d_dq[:, 0:1] + dy * d_dq[:, 3:4] + dz * d_dq[:, 4:5],
+            2.0 * dy * d_dq[:, 1:2] + dx * d_dq[:, 3:4] + dz * d_dq[:, 5:6],
+            2.0 * dz * d_dq[:, 2:3] + dx * d_dq[:, 4:5] + dy * d_dq[:, 5:6],
+        ], axis=-1) + d_d3                                 # (P, 3)
+        ddirs_ref[bi] = d_dirs                             # (P, 3)
+        dgeom_ref[bi] = jnp.concatenate(
+            [d_q6, d_wb, d_c, d_opac,
+             jnp.zeros((GEOM_ROWS - 11, kk), jnp.float32)], axis=0)
+        dfeats_ref[bi] = d_featsT
+
+
+def _block_tiles(t_total: int) -> int:
+    """Tiles per grid step: amortize per-step pipeline overhead while
+    keeping the working set inside VMEM (the per-pixel streams hold their
+    tiny minor dim, so each tile's dirs/out block pads to 128 lanes in
+    VMEM — ~131 KB per tile per stream). Padded tiles carry count=0 and
+    skip every chunk."""
+    return min(8, t_total)
+
+
+def _chunk_size(k: int) -> int:
+    """K-chunk size: 128 lanes when K tiles evenly, else one full chunk."""
+    return 128 if k % 128 == 0 else k
+
+
+def _pad_tiles(arrs, t_total, bt):
+    pad = _round_up(t_total, bt) - t_total
+    if pad == 0:
+        return arrs
+    return [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in arrs]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _packed_composite(geom, featsT, dirs, count, settings: RenderSettings,
+                      interpret: bool = False):
+    """Packed fused composite.
+
+    Args:
+      geom:   (T, 16, K); featsT: (T, FP, K) (FP a multiple of 8, zero-
+              padded); dirs: (T, P, 3) unit ray directions;
+      count:  (T,) f32 last-valid-slot + 1.
+    Returns (T, P, FP+2): channels [0..FP) = composited features,
+      FP = alpha_acc, FP+1 = depth.
+    """
+    return _packed_fwd_impl(geom, featsT, dirs, count, settings,
+                            interpret)
+
+
+def _packed_fwd_impl(geom, featsT, dirs, count, settings, interpret):
+    # Mosaic only compiles for TPU; on the CPU backend fall back to the
+    # interpreter automatically (tests, debugging).
     interpret = interpret or jax.default_backend() == "cpu"
-    go, ga, gd = cot
-    t_total, k = packets["c"].shape
+    t_total, _, k = geom.shape
+    fp = featsT.shape[1]
     p = dirs.shape[1]
-    f = packets["feats"].shape[-1]
-    dq = _dir_basis(dirs)
+    kc = _chunk_size(k)
+    bt = _block_tiles(t_total)
+    geom, featsT, dirs, count = _pad_tiles(
+        [geom, featsT, dirs, count], t_total, bt)
+    tp = geom.shape[0]
 
     def spec(block):
-        return pl.BlockSpec((1,) + block, lambda i: (i,) + (0,) * len(block),
+        return pl.BlockSpec((bt,) + block,
+                            lambda i: (i,) + (0,) * len(block),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_bwd_kernel, settings=settings)
-    d_dirs, d_q6, d_wb, d_c, d_opac, d_feats = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, settings=settings, bt=bt,
+                               kc=kc, fp=fp, p=p)
+    out = pl.pallas_call(
         kernel,
-        grid=(t_total,),
-        in_specs=[spec((p, 6)), spec((p, 3)), spec((6, k)), spec((3, k)),
-                  spec((1, k)), spec((1, k)), spec((k, f)),
-                  spec((p, f)), spec((p, 1)), spec((p, 1))],
-        out_specs=[spec((p, 3)), spec((6, k)), spec((3, k)), spec((1, k)),
-                   spec((1, k)), spec((k, f))],
+        grid=(tp // bt,),
+        in_specs=[pl.BlockSpec((1, 1, bt), lambda i: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  spec((p, 3)), spec((GEOM_ROWS, k)), spec((fp, k))],
+        out_specs=spec((p, fp + 2)),
+        out_shape=jax.ShapeDtypeStruct((tp, p, fp + 2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((p, fp + 8), jnp.float32),
+                        pltpu.VMEM((p, 1), jnp.float32)],
+        interpret=interpret,
+    )(count.reshape(tp // bt, 1, bt), dirs, geom, featsT)
+    return out[:t_total]
+
+
+def _packed_fwd(geom, featsT, dirs, count, settings, interpret):
+    out = _packed_fwd_impl(geom, featsT, dirs, count, settings, interpret)
+    return out, (geom, featsT, dirs, count)
+
+
+def _packed_bwd(settings, interpret, res, cot):
+    geom, featsT, dirs, count = res
+    interpret = interpret or jax.default_backend() == "cpu"
+    t_total, _, k = geom.shape
+    fp = featsT.shape[1]
+    p = dirs.shape[1]
+    bt = _block_tiles(t_total)
+    geom_p, featsT_p, dirs_pp, count_p, cot_p = _pad_tiles(
+        [geom, featsT, dirs, count, cot], t_total, bt)
+    tp = geom_p.shape[0]
+
+    def spec(block):
+        return pl.BlockSpec((bt,) + block,
+                            lambda i: (i,) + (0,) * len(block),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_bwd_kernel, settings=settings, bt=bt,
+                               fp=fp, p=p)
+    d_dirs, d_geom, d_featsT = pl.pallas_call(
+        kernel,
+        grid=(tp // bt,),
+        in_specs=[pl.BlockSpec((1, 1, bt), lambda i: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  spec((p, 3)), spec((GEOM_ROWS, k)), spec((fp, k)),
+                  spec((p, fp + 2))],
+        out_specs=[spec((p, 3)), spec((GEOM_ROWS, k)), spec((fp, k))],
         out_shape=[
-            jax.ShapeDtypeStruct((t_total, p, 3), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, 6, k), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, 3, k), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, 1, k), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, 1, k), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, k, f), jnp.float32),
+            jax.ShapeDtypeStruct((tp, p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((tp, GEOM_ROWS, k), jnp.float32),
+            jax.ShapeDtypeStruct((tp, fp, k), jnp.float32),
         ],
         interpret=interpret,
-    )(dq, dirs, packets["q6"], packets["wb"], packets["c"][:, None, :],
-      packets["opac"][:, None, :], packets["feats"],
-      go, ga[..., None], gd[..., None])
-    d_packets = dict(q6=d_q6, wb=d_wb, c=d_c[:, 0, :], opac=d_opac[:, 0, :],
-                     feats=d_feats)
-    return d_packets, d_dirs
+    )(count_p.reshape(tp // bt, 1, bt), dirs_pp, geom_p, featsT_p, cot_p)
+    return (d_geom[:t_total], d_featsT[:t_total], d_dirs[:t_total],
+            jnp.zeros_like(count))
 
 
-def _tile_composite_xla(packets, dirs, settings: RenderSettings):
-    """Reference semantics as vmapped XLA (ground truth for the kernel,
-    and the recompute path for the backward)."""
-    dq = _dir_basis(dirs)
-    fn = functools.partial(_composite_math, settings=settings)
-    return jax.vmap(fn)(dq, dirs, packets["q6"], packets["wb"],
-                        packets["c"], packets["opac"], packets["feats"])
+_packed_composite.defvjp(_packed_fwd, _packed_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _pack_inputs(packets):
+    """XLA-side packing: pad featsT rows to a multiple of 8 (differentiable;
+    the pad's VJP discards the pad-row cotangent contamination)."""
+    featsT = packets["featsT"]
+    f = featsT.shape[1]
+    fp = _round_up(max(f, 8), 8)
+    if fp != f:
+        featsT = jnp.pad(featsT, ((0, 0), (0, fp - f), (0, 0)))
+    return featsT, f, fp
+
+
 def tile_composite(packets, dirs, settings: RenderSettings,
                    interpret: bool = False):
-    """Fused tile compositing: Pallas forward, recompute-XLA backward.
+    """Fused tile compositing: Pallas forward, analytic Pallas backward.
 
     Args:
       packets: dict from :func:`build_tile_packets` (T-leading arrays).
       dirs: (T, P, 3) per-tile pixel ray directions.
-    Returns (out (T,P,F), alpha_acc (T,P), depth (T,P)).
+    Returns (out (T, P, F), alpha_acc (T, P), depth (T, P)).
     """
-    return _tile_composite_pallas(packets, dirs, settings, interpret)
+    featsT, f, fp = _pack_inputs(packets)
+    out = _packed_composite(packets["geom"], featsT, dirs,
+                            packets["count"], settings, interpret)
+    return (out[..., :f], out[..., fp], out[..., fp + 1])
 
 
-def _tc_fwd(packets, dirs, settings, interpret):
-    return _tile_composite_pallas(packets, dirs, settings, interpret), \
-        (packets, dirs)
+def _composite_math(dirs, geom, featsT, settings: RenderSettings):
+    """Reference semantics for ONE tile, full-K (no chunking, no early
+    termination), using the same product-space scan expansion as the
+    kernel. dirs (P,3), geom (16,K), featsT (F,K). Ground truth for the
+    Pallas kernels; itself allclose-tested against
+    render/tiled.tile_composite_reference."""
+    dpt = jnp.pad(dirs, ((0, 0), (0, 5)))
+    cols = _dir_cols(dpt)
+    a, b = _quadratic_ab(cols, geom)
+    alpha, t, *_ = _alpha_of(a, b, geom[_ROW_C:_ROW_C + 1],
+                             geom[_ROW_OPAC:_ROW_OPAC + 1], settings)
+    om = 1.0 - alpha
+    excl = _cumprod_excl(om)
+    w = excl * alpha
+    out = jnp.dot(w, featsT.T, preferred_element_type=jnp.float32,
+                  precision=_HI)
+    k = w.shape[-1]
+    alpha_acc = 1.0 - excl[:, k - 1] * om[:, k - 1]
+    depth = jnp.sum(w * t, axis=-1) / jnp.maximum(alpha_acc, 1e-8)
+    return out, alpha_acc, depth
 
 
-def _tc_bwd(settings, interpret, res, cot):
-    packets, dirs = res
-    return _tile_composite_bwd_pallas(packets, dirs, cot, settings,
-                                      interpret)
-
-
-tile_composite.defvjp(_tc_fwd, _tc_bwd)
+def _tile_composite_xla(packets, dirs, settings: RenderSettings):
+    """Reference semantics as vmapped XLA (ground truth for the kernel)."""
+    fn = functools.partial(_composite_math, settings=settings)
+    return jax.vmap(fn)(dirs, packets["geom"], packets["featsT"])

@@ -121,13 +121,19 @@ class TestAnalyticBackward:
                    tc._tile_composite_xla(packets, dirs, settings)[1] > 1e-3,
                    jnp.float32))
 
-        _, vjp = jax.vjp(
+        out_ref, vjp = jax.vjp(
             lambda pk, dd: tc._tile_composite_xla(pk, dd, settings),
             packets, dirs)
         ref_pk, ref_dirs = vjp(cot)
-        got_pk, got_dirs = tc._tile_composite_bwd_pallas(
-            packets, dirs, cot, settings, interpret=True)
-        for key in ("q6", "wb", "c", "opac", "feats"):
+        out_got, vjp_got = jax.vjp(
+            lambda pk, dd: tc.tile_composite(pk, dd, settings, True),
+            packets, dirs)
+        got_pk, got_dirs = vjp_got(cot)
+        # forward parity (full VJP path: pack -> kernel -> unpack)
+        for o_got, o_ref in zip(out_got, out_ref):
+            np.testing.assert_allclose(np.asarray(o_got), np.asarray(o_ref),
+                                       rtol=2e-3, atol=2e-4)
+        for key in ("geom", "featsT"):
             np.testing.assert_allclose(
                 np.asarray(got_pk[key]), np.asarray(ref_pk[key]),
                 rtol=2e-3, atol=2e-4, err_msg=key)
