@@ -61,7 +61,8 @@ def main():
     proj_fn = jax.jit(lambda s, c: project_gaussians(s, c, cfg))
     proj = timeit("project_gaussians", lambda: proj_fn(scene, cam))
     binfn = jax.jit(lambda p: bin_gaussians(p, tiles_x, tiles_y, cfg))
-    tile_idx, tile_mask, _ = timeit("bin_gaussians(sort)", lambda: binfn(proj))
+    tile_idx, tile_mask, _, _ = timeit("bin_gaussians(sort)",
+                                       lambda: binfn(proj))
     origin = cam.c2w[:3, 3]
     feats_fn = jax.jit(lambda s, o: _packet_features(s, o, settings))
     feats = timeit("_packet_features", lambda: feats_fn(scene, origin))

@@ -71,9 +71,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pathtracer_gaussiansplatting_tpu.core.types import GaussianScene, RenderSettings
-from pathtracer_gaussiansplatting_tpu.ops.quaternions import (
-    normalize as quat_normalize,
-)
+from pathtracer_gaussiansplatting_tpu.ops.quaternions import rotmat_cols
 
 # Geometry packet row indices (geom (T, 16, K)).
 _ROWS_Q6 = slice(0, 6)      # Q upper triangle [q00,q11,q22, 2q01,2q02,2q12]
@@ -108,14 +106,7 @@ def build_tile_packets(scene: GaussianScene, feats_all, origin, tile_idx,
     # Gaussians; these scalar formulas are the same math as pure
     # elementwise (N,) work. Q = R diag(exp(-2*log_s)) R^T with R the
     # (w,x,y,z) quaternion rotation (ops/quaternions.quat_to_rotmat).
-    qn = quat_normalize(scene.quats)
-    w, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
-    xx, yy, zz = x * x, y * y, z * z
-    xy, xz, yz = x * y, x * z, y * z
-    wx, wy, wz = w * x, w * y, w * z
-    r00, r01, r02 = 1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)
-    r10, r11, r12 = 2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)
-    r20, r21, r22 = 2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = rotmat_cols(scene.quats)
     d0 = jnp.exp(-2.0 * scene.log_scales[:, 0])
     d1 = jnp.exp(-2.0 * scene.log_scales[:, 1])
     d2 = jnp.exp(-2.0 * scene.log_scales[:, 2])

@@ -113,10 +113,20 @@ def surfel_normal(log_scales, quats, view_dir=None):
     is the standard surfel normal for Gaussian surfels. Flipped to face the
     viewer when ``view_dir`` (ray direction) is given.
     """
-    rot = quat_to_rotmat(quats)                           # (..., 3, 3)
-    axis_idx = jnp.argmin(log_scales, axis=-1)            # (...,)
-    n = jnp.take_along_axis(
-        rot, axis_idx[..., None, None].repeat(3, -2), axis=-1)[..., 0]
+    # SoA: select the argmin column of R with elementwise where's — the
+    # (..., 3, 3) take_along_axis form keeps 3-wide axes minor (3/128 lane
+    # occupancy) and measured 54 ms vs ~5 ms at 1M Gaussians on a v5e.
+    from pathtracer_gaussiansplatting_tpu.ops.quaternions import rotmat_cols
+
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = rotmat_cols(quats)
+    s0, s1, s2 = (log_scales[..., 0], log_scales[..., 1],
+                  log_scales[..., 2])
+    pick0 = (s0 <= s1) & (s0 <= s2)      # argmin tie-break: first index
+    pick1 = (~(s0 <= s1)) & (s1 <= s2)
+    nx = jnp.where(pick0, r00, jnp.where(pick1, r01, r02))
+    ny = jnp.where(pick0, r10, jnp.where(pick1, r11, r12))
+    nz = jnp.where(pick0, r20, jnp.where(pick1, r21, r22))
+    n = jnp.stack([nx, ny, nz], axis=-1)
     if view_dir is not None:
         flip = jnp.sum(n * view_dir, -1, keepdims=True) > 0
         n = jnp.where(flip, -n, n)

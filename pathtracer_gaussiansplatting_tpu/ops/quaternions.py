@@ -36,6 +36,26 @@ def quat_to_rotmat(q):
     return r.reshape(q.shape[:-1] + (3, 3))
 
 
+def rotmat_cols(q):
+    """Rotation-matrix entries of (N, 4) quaternions as nine (N,) columns.
+
+    Structure-of-arrays form of :func:`quat_to_rotmat` for TPU hot paths:
+    every output is an (N,) column so the lane dimension stays N (the
+    (N, 3, 3) matrix form keeps the 3-wide geometry axes minor — 3/128
+    lane occupancy — and measured ~5x slower at 1M Gaussians).
+    Returns (r00, r01, r02, r10, r11, r12, r20, r21, r22); columns of R are
+    the rotated basis vectors (same convention as quat_to_rotmat).
+    """
+    q = normalize(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy))
+
+
 def rotmat_to_quat(m):
     """Inverse of quat_to_rotmat for a single (..., 3, 3) matrix (w,x,y,z).
 

@@ -136,7 +136,8 @@ def prepare_tiles(scene: GaussianScene, camera: Camera,
 
     tiles_x, tiles_y = num_tiles(camera, config)
     proj = project_gaussians(scene, camera, config)
-    tile_idx, tile_mask, _ = bin_gaussians(proj, tiles_x, tiles_y, config)
+    tile_idx, tile_mask, _, _stats = bin_gaussians(proj, tiles_x, tiles_y,
+                                                   config)
     origin = camera.c2w[:3, 3]
     feats_all = _packet_features(scene, origin, settings)
     packets = build_tile_packets(scene, feats_all, origin, tile_idx,
@@ -228,7 +229,8 @@ def render_tiled(scene: GaussianScene, camera: Camera,
     pad_w, pad_h = tiles_x * ts, tiles_y * ts
 
     proj = project_gaussians(scene, camera, config)
-    tile_idx, tile_mask, _ = bin_gaussians(proj, tiles_x, tiles_y, config)
+    tile_idx, tile_mask, _, _stats = bin_gaussians(proj, tiles_x, tiles_y,
+                                                   config)
 
     pad_cam = Camera(c2w=camera.c2w, fov_y_deg=camera.fov_y_deg,
                      width=camera.width, height=camera.height)

@@ -49,7 +49,7 @@ class TestProjection:
         cfg = BinningConfig(max_per_tile=64)
         tx, ty = num_tiles(cam, cfg)
         proj = project_gaussians(scene, cam, cfg)
-        tile_idx, tile_mask, cnt = bin_gaussians(proj, tx, ty, cfg)
+        tile_idx, tile_mask, cnt, stats = bin_gaussians(proj, tx, ty, cfg)
         assert tile_idx.shape == (tx * ty, 64)
         # Every valid on-screen Gaussian must appear in the tile containing
         # its center.
@@ -68,7 +68,7 @@ class TestProjection:
         cfg = BinningConfig(max_per_tile=80)
         tx, ty = num_tiles(cam, cfg)
         proj = project_gaussians(scene, cam, cfg)
-        tile_idx, tile_mask, _ = bin_gaussians(proj, tx, ty, cfg)
+        tile_idx, tile_mask, _, _ = bin_gaussians(proj, tx, ty, cfg)
         depth = np.asarray(proj["depth"])
         ti = np.asarray(tile_idx); tm = np.asarray(tile_mask)
         for t in range(tx * ty):
