@@ -267,7 +267,9 @@ def _fwd_kernel(count_ref, dirs_ref, geom_ref, feats_ref, out_ref,
 
 
 def _bwd_kernel(count_ref, dirs_ref, geom_ref, feats_ref, cot_ref,
-                ddirs_ref, dgeom_ref, dfeats_ref, *, settings, bt, fp, p):
+                ddirs_ref, dgeom_ref, dfeats_ref,
+                acc_ref, trans_ref, tc_ref, *, settings, bt, kc, fp, p):
+    n_chunks = geom_ref.shape[-1] // kc
     for bi in range(bt):
         cols = _dir_cols(dirs_ref[bi])                     # (P, 3) block
         dx, dy, dz = cols[0], cols[1], cols[2]
@@ -277,76 +279,131 @@ def _bwd_kernel(count_ref, dirs_ref, geom_ref, feats_ref, cot_ref,
         go = cot[:, :fp]                                   # (P, FP)
         ga = cot[:, fp:fp + 1]                             # (P, 1)
         gd = cot[:, fp + 1:fp + 2]                         # (P, 1)
-
-        # ---- forward recompute (full K, in VMEM) ----
-        a, b = _quadratic_ab(cols, g)
-        c = g[_ROW_C:_ROW_C + 1]
-        opac = g[_ROW_OPAC:_ROW_OPAC + 1]
-        alpha, t, t_raw, qv, gval, alpha0, live = _alpha_of(
-            a, b, c, opac, settings)
-        t_in = (t_raw > settings.t_min) & (t_raw < settings.t_max)
-        om = 1.0 - alpha
-        excl = _cumprod_excl(om)                           # T_excl (P, K)
-        w = excl * alpha
-        kk = w.shape[-1]
-        t_last = excl[:, kk - 1:kk] * om[:, kk - 1:kk]     # (P, 1)
-        alpha_acc = 1.0 - t_last
-        denom = jnp.maximum(alpha_acc, 1e-8)
-        s_depth = jnp.sum(w * t, axis=-1, keepdims=True)   # (P, 1)
-
-        # ---- backward ----
-        # Feature/composite chain. Pad rows of feats are zero, so the
-        # alpha/depth rows that overlap go's padding contribute nothing to
-        # d_w; the symmetric contamination of d_featsT's pad rows is
-        # discarded by the pad-VJP outside the kernel.
-        d_featsT = _dotP(go, w)                            # (FP, K)
-        d_w = jnp.dot(go, feats, preferred_element_type=jnp.float32,
-                      precision=_HI)                       # (P, K)
-        d_s = gd / denom
-        live_acc = alpha_acc > 1e-8
-        d_alpha_acc = ga + jnp.where(
-            live_acc, -gd * s_depth / (denom * denom), 0.0)
-        d_w = d_w + d_s * t
-        d_t = d_s * w                                      # depth chain
-        d_alpha = d_w * excl
-        # w_k = alpha_k exp(e_k), e_k = sum_{j<k} log(1-alpha_j):
-        # d_log_om_j = sum_{k>j} d_e_k (strict suffix), one reverse scan.
-        d_e = d_w * w
-        suf = _suffix_sum_last(d_e)
-        d_log_om = jnp.concatenate(
-            [suf[:, 1:], jnp.zeros_like(suf[:, :1])], axis=-1)
-        # alpha_acc = 1 - prod_k (1-alpha_k): every k gets -d_aa * T_last.
-        d_log_om = d_log_om - d_alpha_acc * t_last
-        d_alpha = d_alpha - d_log_om / jnp.maximum(om, 1e-6)
-        grad_live = live & (alpha0 <= settings.alpha_max)
-        d_alpha0 = jnp.where(grad_live, d_alpha, 0.0)
-        d_opac = jnp.sum(d_alpha0 * gval, axis=0, keepdims=True)  # (1, K)
-        d_g = d_alpha0 * opac
-        d_qv = jnp.where(qv > 0.0, -0.5 * d_g * gval, 0.0)
-        # qv chain: dt picks up 2(at+b) (zero at the interior peak, nonzero
-        # at clipped t); a/b/c get the direct partials.
-        d_t = d_t + d_qv * 2.0 * (a * t + b)
-        d_a = d_qv * t * t + jnp.where(t_in, d_t * (b / (a * a)), 0.0)
-        d_b = d_qv * 2.0 * t + jnp.where(t_in, -d_t / a, 0.0)
-        d_c = jnp.sum(d_qv, axis=0, keepdims=True)         # (1, K)
-
         mono6 = jnp.concatenate(cols[3:9], axis=-1)        # (P, 6)
         d3 = jnp.concatenate(cols[0:3], axis=-1)           # (P, 3)
-        d_q6 = _dotP(mono6, d_a)                           # (6, K)
-        d_wb = _dotP(d3, d_b)                              # (3, K)
-        d_dq = _dotT(d_a, g[_ROWS_Q6])                     # (P, 6)
-        d_d3 = _dotT(d_b, g[_ROWS_WB])                     # (P, 3)
-        # monomial chain: dd = [dx2, dy2, dz2, dxdy, dxdz, dydz].
-        d_dirs = jnp.concatenate([
-            2.0 * dx * d_dq[:, 0:1] + dy * d_dq[:, 3:4] + dz * d_dq[:, 4:5],
-            2.0 * dy * d_dq[:, 1:2] + dx * d_dq[:, 3:4] + dz * d_dq[:, 5:6],
-            2.0 * dz * d_dq[:, 2:3] + dx * d_dq[:, 4:5] + dy * d_dq[:, 5:6],
-        ], axis=-1) + d_d3                                 # (P, 3)
-        ddirs_ref[bi] = d_dirs                             # (P, 3)
-        dgeom_ref[bi] = jnp.concatenate(
-            [d_q6, d_wb, d_c, d_opac,
-             jnp.zeros((GEOM_ROWS - 11, kk), jnp.float32)], axis=0)
-        dfeats_ref[bi] = d_featsT
+
+        # The forward skips chunks once transmittance saturates (pl.when),
+        # so the primal literally does not depend on those chunks' inputs:
+        # their exact gradient is zero. Mirror the forward's chunk schedule,
+        # write zeros for skipped chunks, and carry the two cross-chunk
+        # reductions — entry transmittance (forward order, phase 1) and the
+        # suffix sum of d_e (reverse order, phase 2) — as (P, 1) columns.
+        dgeom_ref[bi] = jnp.zeros_like(dgeom_ref[bi])
+        dfeats_ref[bi] = jnp.zeros_like(dfeats_ref[bi])
+        acc_ref[:] = jnp.zeros((p, 8), jnp.float32)  # 0: s_depth, 1: suf
+        #                                              2:5: d_dirs acc
+        count = count_ref[0, 0, bi]
+
+        # ---- phase 1 (forward order): entry transmittances, s_depth ----
+        trans_ref[:] = jnp.ones((p, 1), jnp.float32)
+        for ci in range(n_chunks):
+            start = ci * kc
+            tc_ref[:, ci:ci + 1] = trans_ref[:]
+            alive = count > float(start)
+            if ci > 0:
+                alive &= (jnp.max(trans_ref[:])
+                          > settings.transmittance_min)
+
+            @pl.when(alive)
+            def _(start=start):
+                gc = g[:, start:start + kc]
+                a, b = _quadratic_ab(cols, gc)
+                alpha, t, *_ = _alpha_of(
+                    a, b, gc[_ROW_C:_ROW_C + 1],
+                    gc[_ROW_OPAC:_ROW_OPAC + 1], settings)
+                om = 1.0 - alpha
+                excl = _cumprod_excl(om)
+                w = trans_ref[:] * excl * alpha
+                acc_ref[:, 0:1] += jnp.sum(w * t, axis=-1, keepdims=True)
+                trans_ref[:] *= excl[:, kc - 1:kc] * om[:, kc - 1:kc]
+
+        t_last = trans_ref[:]                              # (P, 1)
+        alpha_acc = 1.0 - t_last
+        denom = jnp.maximum(alpha_acc, 1e-8)
+        s_depth = acc_ref[:, 0:1]
+        d_s = gd / denom
+        d_alpha_acc = ga + jnp.where(
+            alpha_acc > 1e-8, -gd * s_depth / (denom * denom), 0.0)
+
+        # ---- phase 2 (reverse order): per-chunk recompute + VJP ----
+        for ci in reversed(range(n_chunks)):
+            start = ci * kc
+            t_entry = tc_ref[:, ci:ci + 1]                 # (P, 1)
+            alive = count > float(start)
+            if ci > 0:
+                alive &= (jnp.max(t_entry)
+                          > settings.transmittance_min)
+
+            @pl.when(alive)
+            def _(start=start, ci=ci):
+                gc = g[:, start:start + kc]
+                a, b = _quadratic_ab(cols, gc)
+                c = gc[_ROW_C:_ROW_C + 1]
+                opac = gc[_ROW_OPAC:_ROW_OPAC + 1]
+                alpha, t, t_raw, qv, gval, alpha0, live = _alpha_of(
+                    a, b, c, opac, settings)
+                t_in = (t_raw > settings.t_min) & (t_raw < settings.t_max)
+                om = 1.0 - alpha
+                t_entry_c = tc_ref[:, ci:ci + 1]
+                excl = t_entry_c * _cumprod_excl(om)       # global T_excl
+                w = excl * alpha
+
+                # Feature/composite chain. Pad rows of feats are zero, so
+                # go's alpha/depth columns contribute nothing to d_w; the
+                # symmetric contamination of d_featsT's pad rows is
+                # discarded by the pad-VJP outside the kernel.
+                d_featsT = _dotP(go, w)                    # (FP, KC)
+                d_w = jnp.dot(go, feats[:, start:start + kc],
+                              preferred_element_type=jnp.float32,
+                              precision=_HI)               # (P, KC)
+                d_w = d_w + d_s * t
+                d_t = d_s * w                              # depth chain
+                d_alpha = d_w * excl
+                # w_k = alpha_k exp(e_k), e_k = sum_{j<k} log(1-alpha_j):
+                # d_log_om_j = strict suffix of d_e (within-chunk scan +
+                # cross-chunk carry accumulated in reverse order).
+                d_e = d_w * w
+                suf = _suffix_sum_last(d_e)
+                d_log_om = jnp.concatenate(
+                    [suf[:, 1:], jnp.zeros_like(suf[:, :1])], axis=-1) \
+                    + acc_ref[:, 1:2]
+                # alpha_acc = 1 - prod(1-alpha): every k gets -d_aa*T_last.
+                d_log_om = d_log_om - d_alpha_acc * t_last
+                d_alpha = d_alpha - d_log_om / jnp.maximum(om, 1e-6)
+                grad_live = live & (alpha0 <= settings.alpha_max)
+                d_alpha0 = jnp.where(grad_live, d_alpha, 0.0)
+                d_opac = jnp.sum(d_alpha0 * gval, axis=0,
+                                 keepdims=True)            # (1, KC)
+                d_g = d_alpha0 * opac
+                d_qv = jnp.where(qv > 0.0, -0.5 * d_g * gval, 0.0)
+                # qv chain: dt picks up 2(at+b) (zero at the interior peak,
+                # nonzero at clipped t); a/b/c get the direct partials.
+                d_t2 = d_t + d_qv * 2.0 * (a * t + b)
+                d_a = d_qv * t * t + jnp.where(
+                    t_in, d_t2 * (b / (a * a)), 0.0)
+                d_b = d_qv * 2.0 * t + jnp.where(t_in, -d_t2 / a, 0.0)
+                d_c = jnp.sum(d_qv, axis=0, keepdims=True)  # (1, KC)
+
+                d_q6 = _dotP(mono6, d_a)                   # (6, KC)
+                d_wb = _dotP(d3, d_b)                      # (3, KC)
+                d_dq = _dotT(d_a, gc[_ROWS_Q6])            # (P, 6)
+                d_d3 = _dotT(d_b, gc[_ROWS_WB])            # (P, 3)
+                # monomial chain: dd = [dx2, dy2, dz2, dxdy, dxdz, dydz].
+                acc_ref[:, 2:5] += jnp.concatenate([
+                    2.0 * dx * d_dq[:, 0:1] + dy * d_dq[:, 3:4]
+                    + dz * d_dq[:, 4:5],
+                    2.0 * dy * d_dq[:, 1:2] + dx * d_dq[:, 3:4]
+                    + dz * d_dq[:, 5:6],
+                    2.0 * dz * d_dq[:, 2:3] + dx * d_dq[:, 4:5]
+                    + dy * d_dq[:, 5:6],
+                ], axis=-1) + d_d3
+                dgeom_ref[bi, :, start:start + kc] = jnp.concatenate(
+                    [d_q6, d_wb, d_c, d_opac,
+                     jnp.zeros((GEOM_ROWS - 11, kc), jnp.float32)], axis=0)
+                dfeats_ref[bi, :, start:start + kc] = d_featsT
+                acc_ref[:, 1:2] += suf[:, 0:1]             # suffix carry
+
+        ddirs_ref[bi] = acc_ref[:, 2:5]                    # (P, 3)
 
 
 def _block_tiles(t_total: int) -> int:
@@ -443,8 +500,9 @@ def _packed_bwd(settings, interpret, res, cot):
                             lambda i: (i,) + (0,) * len(block),
                             memory_space=pltpu.VMEM)
 
+    kc = _chunk_size(k)
     kernel = functools.partial(_bwd_kernel, settings=settings, bt=bt,
-                               fp=fp, p=p)
+                               kc=kc, fp=fp, p=p)
     d_dirs, d_geom, d_featsT = pl.pallas_call(
         kernel,
         grid=(tp // bt,),
@@ -458,6 +516,10 @@ def _packed_bwd(settings, interpret, res, cot):
             jax.ShapeDtypeStruct((tp, GEOM_ROWS, k), jnp.float32),
             jax.ShapeDtypeStruct((tp, fp, k), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((p, 8), jnp.float32),
+                        pltpu.VMEM((p, 1), jnp.float32),
+                        pltpu.VMEM((p, max(8, k // _chunk_size(k))),
+                                   jnp.float32)],
         interpret=interpret,
     )(count_p.reshape(tp // bt, 1, bt), dirs_pp, geom_p, featsT_p, cot_p)
     return (d_geom[:t_total], d_featsT[:t_total], d_dirs[:t_total],

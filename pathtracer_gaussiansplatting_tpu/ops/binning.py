@@ -130,9 +130,6 @@ def project_gaussians(scene: GaussianScene, camera: Camera,
     cov00 = cov00 + 0.3
     cov11 = cov11 + 0.3
 
-    mid = 0.5 * (cov00 + cov11)
-    det = cov00 * cov11 - cov01 * cov01
-    lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
     # Opacity-aware effective sigma: alpha(q) = opac*exp(-q/2) drops below
     # alpha_min at q = 2 ln(opac/alpha_min) — stamping past that radius only
     # feeds the kernel contributions it will kill (closesthit.rchit's alpha
@@ -142,12 +139,19 @@ def project_gaussians(scene: GaussianScene, camera: Camera,
         jnp.sqrt(jnp.maximum(
             2.0 * jnp.log(jnp.maximum(scene.opacities, 1e-12)
                           / config.alpha_min), 1e-12)))
-    radius = jnp.minimum(sig_eff * jnp.sqrt(lam_max), config.radius_clamp_px)
+    # Per-axis conservative radii: q = d^T Cov2d^{-1} d >= dx^2/cov00 (Schur
+    # complement), so |dx| > sigma*sqrt(cov00) implies q > sigma^2 — the
+    # (rx, ry) rectangle is exact-conservative and strictly tighter than
+    # the sigma*sqrt(lam_max) circle for anisotropic splats (fewer stamped
+    # tiles, smaller per-tile lists, smaller sort).
+    rx = jnp.minimum(sig_eff * jnp.sqrt(cov00), config.radius_clamp_px)
+    ry = jnp.minimum(sig_eff * jnp.sqrt(cov11), config.radius_clamp_px)
 
     valid = (depth > config.near) & (scene.opacities > config.alpha_min)
-    valid &= (xy[:, 0] + radius > 0) & (xy[:, 0] - radius < w)
-    valid &= (xy[:, 1] + radius > 0) & (xy[:, 1] - radius < h)
-    return dict(xy=xy, depth=depth, radius=radius, valid=valid)
+    valid &= (xy[:, 0] + rx > 0) & (xy[:, 0] - rx < w)
+    valid &= (xy[:, 1] + ry > 0) & (xy[:, 1] - ry < h)
+    return dict(xy=xy, depth=depth, rx=rx, ry=ry,
+                radius=jnp.maximum(rx, ry), valid=valid)
 
 
 def num_tiles(camera: Camera, config: BinningConfig) -> Tuple[int, int]:
@@ -165,11 +169,13 @@ def _footprint(proj, tiles_x, tiles_y, config):
     """
     ts = config.tile_size
     m_cap = config.max_tiles_per_gaussian
-    xy, radius, valid = proj["xy"], proj["radius"], proj["valid"]
-    tx0 = jnp.clip(jnp.floor((xy[:, 0] - radius) / ts), 0, tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor((xy[:, 0] + radius) / ts), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor((xy[:, 1] - radius) / ts), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor((xy[:, 1] + radius) / ts), 0, tiles_y - 1)
+    xy, valid = proj["xy"], proj["valid"]
+    rx = proj.get("rx", proj["radius"])
+    ry = proj.get("ry", proj["radius"])
+    tx0 = jnp.clip(jnp.floor((xy[:, 0] - rx) / ts), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor((xy[:, 0] + rx) / ts), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor((xy[:, 1] - ry) / ts), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor((xy[:, 1] + ry) / ts), 0, tiles_y - 1)
     bw = tx1 - tx0 + 1.0                              # f32 tile-bbox dims
     bh = ty1 - ty0 + 1.0
     cover = bw * bh
