@@ -25,6 +25,7 @@ import time
 
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
     import jax.numpy as jnp
 

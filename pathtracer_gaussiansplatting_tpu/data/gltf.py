@@ -8,14 +8,19 @@ flat Gaussian surfels (area-weighted barycentric sampling; one surfel per
 sample with normal-aligned flattening) — the scene representation of this
 framework.
 
+Texture stack: every material texture channel (baseColor, metal-rough,
+normal, occlusion, emissive, specular-glossiness, clearcoat x2) is BAKED
+at surfelization — sampled bilinearly at each surfel's interpolated UV
+with KHR_texture_transform, sRGB/UNORM handling per channel, alphaMode
+MASK/BLEND gating surfel opacity, and optional surfel-footprint mip
+selection (the ray-cone LOD analog, closesthit.rchit:21-37, 364-439;
+alpha.rahit:14-62). See data/textures.py.
+
 Scope notes (documented divergences):
-  * textures are not sampled — surfel colors use baseColorFactor (adding
-    UV-sampled textures is a straightforward extension: sample the image at
-    each surfel's interpolated UV);
   * skinning/animation is not applied (reference bakes animation frame 0,
     gameobject.cpp:64-159);
   * specular-glossiness / clearcoat / transmission extensions reduce to the
-    metallic-roughness lobe parameters.
+    metallic-roughness lobe parameters at bake time.
 
 No external glTF dependency: the format is JSON + raw buffers.
 """
@@ -128,6 +133,20 @@ def parse_gltf(path: str) -> dict:
     primitives = []
     lights = []
 
+    def tex_ref(owner, key, srgb):
+        """Texture reference dict from a textureInfo field (index, UV set,
+        KHR_texture_transform, scale/strength), or None."""
+        info = owner.get(key)
+        if info is None:
+            return None
+        return dict(
+            index=info["index"], texcoord=info.get("texCoord", 0),
+            transform=info.get("extensions", {}).get(
+                "KHR_texture_transform"),
+            scale=float(info.get("scale", 1.0)),        # normalTexture
+            strength=float(info.get("strength", 1.0)),  # occlusionTexture
+            srgb=srgb)
+
     def material_of(prim):
         mi = prim.get("material")
         mat = materials[mi] if mi is not None else {}
@@ -136,6 +155,14 @@ def parse_gltf(path: str) -> dict:
         base = np.asarray(pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32)
         metallic = float(pbr.get("metallicFactor", 1.0))
         roughness = float(pbr.get("roughnessFactor", 1.0))
+        textures = dict(
+            base_color=tex_ref(pbr, "baseColorTexture", True),
+            metallic_roughness=tex_ref(pbr, "metallicRoughnessTexture",
+                                       False),
+            normal=tex_ref(mat, "normalTexture", False),
+            occlusion=tex_ref(mat, "occlusionTexture", False),
+            emissive=tex_ref(mat, "emissiveTexture", True),
+        )
 
         # KHR_materials_pbrSpecularGlossiness (the reference shades this
         # workflow natively, closesthit.rchit:396-410: F0=specularFactor,
@@ -143,6 +170,17 @@ def parse_gltf(path: str) -> dict:
         # scalar metal-rough channels, so we apply the standard SG->MR
         # conversion: metallic from specular brightness, diffuse as albedo).
         sg = ext.get("KHR_materials_pbrSpecularGlossiness")
+        sg_info = None
+        if sg is not None:
+            textures["sg_diffuse"] = tex_ref(sg, "diffuseTexture", True)
+            textures["sg_spec_gloss"] = tex_ref(
+                sg, "specularGlossinessTexture", True)
+            sg_info = dict(
+                diffuse=np.asarray(sg.get("diffuseFactor", [1, 1, 1, 1]),
+                                   np.float32),
+                specular=np.asarray(sg.get("specularFactor", [1, 1, 1]),
+                                    np.float32),
+                glossiness=float(sg.get("glossinessFactor", 1.0)))
         if sg is not None:
             diffuse = np.asarray(sg.get("diffuseFactor", [1, 1, 1, 1]),
                                  np.float32)
@@ -160,6 +198,9 @@ def parse_gltf(path: str) -> dict:
             "KHR_materials_emissive_strength", {}).get("emissiveStrength", 1.0)
         cc = ext.get("KHR_materials_clearcoat", {})
         tr = ext.get("KHR_materials_transmission", {})
+        textures["clearcoat"] = tex_ref(cc, "clearcoatTexture", False)
+        textures["clearcoat_roughness"] = tex_ref(
+            cc, "clearcoatRoughnessTexture", False)
         return dict(
             base_color=base,
             metallic=metallic,
@@ -169,6 +210,10 @@ def parse_gltf(path: str) -> dict:
             clearcoat_roughness=float(
                 cc.get("clearcoatRoughnessFactor", 0.0)),
             transmission=float(tr.get("transmissionFactor", 0.0)),
+            alpha_mode=mat.get("alphaMode", "OPAQUE"),
+            alpha_cutoff=float(mat.get("alphaCutoff", 0.5)),
+            sg=sg_info,
+            textures=textures,
         )
 
     def walk(node_idx: int, parent: np.ndarray):
@@ -193,11 +238,31 @@ def parse_gltf(path: str) -> dict:
                     faces = idx.reshape(-1, 3).astype(np.int64)
                 else:
                     faces = np.arange(len(pos), dtype=np.int64).reshape(-1, 3)
+                uvs = {}
+                for set_id in (0, 1):
+                    attr = f"TEXCOORD_{set_id}"
+                    if attr in prim["attributes"]:
+                        uv = _read_accessor(gltf, buffers,
+                                            prim["attributes"][attr])
+                        acc = gltf["accessors"][prim["attributes"][attr]]
+                        if acc["componentType"] == 5121:     # u8 normalized
+                            uv = uv / 255.0
+                        elif acc["componentType"] == 5123:   # u16 normalized
+                            uv = uv / 65535.0
+                        uvs[set_id] = uv.astype(np.float32)
+                tangents = None
+                if "TANGENT" in prim["attributes"]:
+                    tan = _read_accessor(gltf, buffers,
+                                         prim["attributes"]["TANGENT"])
+                    txyz = tan[:, :3].astype(np.float64) @ world[:3, :3].T
+                    tangents = np.concatenate(
+                        [txyz, tan[:, 3:4]], axis=-1).astype(np.float32)
                 primitives.append(dict(
                     positions=pos.astype(np.float32),
                     normals=None if normals is None
                     else normals.astype(np.float32),
-                    indices=faces, **material_of(prim)))
+                    indices=faces, uvs=uvs, tangents=tangents,
+                    **material_of(prim)))
         light_ref = node.get("extensions", {}).get(
             "KHR_lights_punctual", {}).get("light")
         if light_ref is not None and light_ref < len(khr_lights):
@@ -225,7 +290,9 @@ def parse_gltf(path: str) -> dict:
     scenes = gltf.get("scenes", [{}])
     for root in scenes[scene_idx].get("nodes", []):
         walk(root, np.eye(4))
-    return dict(primitives=primitives, lights=lights)
+    return dict(primitives=primitives, lights=lights,
+                texture_env=dict(gltf=gltf, buffers=buffers,
+                                 base_dir=base_dir, cache={}))
 
 
 def surfelize_mesh(positions, faces, normals=None,
@@ -282,18 +349,203 @@ def surfelize_mesh(positions, faces, normals=None,
     return dict(means=means.astype(np.float32),
                 log_scales=log_scales.astype(np.float32),
                 quats=quats.astype(np.float32),
-                normals=n.astype(np.float32))
+                normals=n.astype(np.float32),
+                face_ids=face_ids, bary=u.astype(np.float32),
+                radius=radius.astype(np.float32),
+                frames=frames.astype(np.float32))
+
+
+def _interp_attr(attr: np.ndarray, faces: np.ndarray, face_ids: np.ndarray,
+                 bary: np.ndarray) -> np.ndarray:
+    """Barycentric interpolation of a per-vertex attribute at surfels."""
+    f = faces[face_ids]
+    w0 = (1.0 - bary[:, 0] - bary[:, 1])[:, None]
+    return (attr[f[:, 0]] * w0 + attr[f[:, 1]] * bary[:, 0:1]
+            + attr[f[:, 2]] * bary[:, 1:2]).astype(np.float32)
+
+
+def bake_surfel_materials(prim: dict, surf: dict, tex_env: Optional[dict],
+                          use_lod: bool = False, lod_factor: float = 1.0):
+    """Sample every material texture channel at each surfel's UV.
+
+    The baking analog of the reference's per-hit material kernel
+    (closesthit.rchit:364-439): baseColor/emissive/SG in sRGB, metal-rough/
+    normal/occlusion UNORM, KHR_texture_transform, alphaMode MASK/BLEND
+    (alpha.rahit:14-62) gating surfel opacity, optional surfel-footprint
+    mip selection (ray-cone LOD analog, closesthit.rchit:21-37 — ``use_lod``
+    and ``lod_factor`` mirror the scene-config keys, engine.cpp:1243-1244).
+
+    Returns dict of per-surfel arrays: color (S,3), emissive (S,3),
+    metallic, roughness, clearcoat, clearcoat_roughness, alpha (S,),
+    keep (S,) bool, normals (S,3), quats (S,4).
+    """
+    from pathtracer_gaussiansplatting_tpu.data.textures import (
+        TextureSampler, apply_texture_transform,
+    )
+    from pathtracer_gaussiansplatting_tpu.ops.quaternions import (
+        rotmat_to_quat,
+    )
+    import jax.numpy as jnp
+
+    s = len(surf["means"])
+    faces, face_ids, bary = prim["indices"], surf["face_ids"], surf["bary"]
+    uvs, refs = prim.get("uvs", {}), prim.get("textures", {}) or {}
+    sg = prim.get("sg")
+
+    out = dict(
+        color=np.tile(prim["base_color"][:3], (s, 1)).astype(np.float32),
+        emissive=np.tile(prim["emissive"], (s, 1)).astype(np.float32),
+        metallic=np.full(s, prim["metallic"], np.float32),
+        roughness=np.full(s, prim["roughness"], np.float32),
+        clearcoat=np.full(s, prim.get("clearcoat", 0.0), np.float32),
+        clearcoat_roughness=np.full(
+            s, max(prim.get("clearcoat_roughness", 0.0), 0.03), np.float32),
+        alpha=np.full(s, float(prim["base_color"][3]), np.float32),
+        keep=np.ones(s, bool),
+        normals=surf["normals"], quats=surf["quats"])
+
+    def sample(name):
+        """(S, 4) RGBA taps for texture ref ``name``, or (None, None)."""
+        ref = refs.get(name)
+        if ref is None or tex_env is None or not uvs:
+            return None, None
+        uv_set = uvs.get(ref["texcoord"], uvs.get(0))
+        if uv_set is None:
+            return None, None
+        uv = _interp_attr(uv_set, faces, face_ids, bary)
+        uv = apply_texture_transform(uv, ref["transform"])
+        sampler = TextureSampler(tex_env["gltf"], tex_env["buffers"],
+                                 tex_env["base_dir"], ref["index"],
+                                 srgb=ref["srgb"],
+                                 image_cache=tex_env["cache"])
+        lod = None
+        if use_lod:
+            # Texel density per face: sqrt(uv-area-in-texels / world-area);
+            # mip level = log2 of the surfel diameter's texel footprint.
+            p0 = prim["positions"][faces[:, 0]]
+            e1 = prim["positions"][faces[:, 1]] - p0
+            e2 = prim["positions"][faces[:, 2]] - p0
+            a_w = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            t0 = uv_set[faces[:, 0]]
+            tu = (uv_set[faces[:, 1]] - t0) * np.asarray(sampler.size)
+            tv = (uv_set[faces[:, 2]] - t0) * np.asarray(sampler.size)
+            a_t = 0.5 * np.abs(tu[:, 0] * tv[:, 1] - tu[:, 1] * tv[:, 0])
+            density = np.sqrt(a_t / np.maximum(a_w, 1e-12))
+            foot = 2.0 * surf["radius"] * density[face_ids] * lod_factor
+            lod = np.log2(np.maximum(foot, 1.0)).astype(np.float32)
+        return sampler.sample(uv, lod=lod), ref
+
+    tap, _ = sample("base_color")
+    if tap is not None:
+        out["color"] = out["color"] * tap[:, :3]
+        out["alpha"] = out["alpha"] * tap[:, 3]
+    tap, _ = sample("metallic_roughness")
+    if tap is not None:  # glTF: B = metallic, G = roughness
+        out["metallic"] = out["metallic"] * tap[:, 2]
+        out["roughness"] = out["roughness"] * tap[:, 1]
+    tap, ref = sample("occlusion")
+    if tap is not None:  # R channel, lerped by strength
+        occ = 1.0 + ref["strength"] * (tap[:, 0] - 1.0)
+        out["color"] = out["color"] * occ[:, None]
+    tap, _ = sample("emissive")
+    if tap is not None:
+        out["emissive"] = out["emissive"] * tap[:, :3]
+    tap, ref = sample("clearcoat")
+    if tap is not None:  # R channel
+        out["clearcoat"] = out["clearcoat"] * tap[:, 0]
+    tap, ref = sample("clearcoat_roughness")
+    if tap is not None:  # G channel
+        out["clearcoat_roughness"] = np.maximum(
+            out["clearcoat_roughness"] * tap[:, 1], 0.03)
+
+    if sg is not None:
+        # Per-surfel specular-glossiness -> metal-rough conversion
+        # (closesthit.rchit:396-410 shades SG natively; the per-Gaussian
+        # SoA carries metal-rough, so convert at bake).
+        diffuse = np.tile(sg["diffuse"][None, :], (s, 1))
+        spec = np.tile(np.append(sg["specular"], sg["glossiness"])[None, :],
+                       (s, 1))
+        tap, _ = sample("sg_diffuse")
+        if tap is not None:
+            diffuse = diffuse * tap
+        tap, _ = sample("sg_spec_gloss")
+        if tap is not None:
+            spec = spec * tap
+        metallic = np.clip((spec[:, :3].max(-1) - 0.04) / 0.96, 0.0, 1.0)
+        out["metallic"] = metallic.astype(np.float32)
+        out["color"] = (diffuse[:, :3] * (1.0 - metallic[:, None])
+                        + spec[:, :3] * metallic[:, None]).astype(np.float32)
+        out["alpha"] = diffuse[:, 3].astype(np.float32)
+        out["roughness"] = np.sqrt(
+            np.maximum(1.0 - spec[:, 3], 0.04)).astype(np.float32)
+
+    tap, ref = sample("normal")
+    if tap is not None:
+        # Tangent-space normal map: perturb each surfel's frame and rebuild
+        # its quaternion (closesthit.rchit TBN path, :364-385). Tangents
+        # come from the TANGENT attribute when present, else from UV
+        # gradients per face (standard derivation).
+        n = surf["normals"]
+        if prim.get("tangents") is not None:
+            tan4 = _interp_attr(prim["tangents"], faces, face_ids, bary)
+            t_vec, handed = tan4[:, :3], tan4[:, 3]
+        else:
+            uv_set = uvs.get(ref["texcoord"], uvs.get(0))
+            p0 = prim["positions"][faces[:, 0]]
+            e1 = prim["positions"][faces[:, 1]] - p0
+            e2 = prim["positions"][faces[:, 2]] - p0
+            t0 = uv_set[faces[:, 0]]
+            d1 = uv_set[faces[:, 1]] - t0
+            d2 = uv_set[faces[:, 2]] - t0
+            det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+            inv = 1.0 / np.where(np.abs(det) < 1e-12, 1.0, det)
+            t_face = (e1 * d2[:, 1:2] - e2 * d1[:, 1:2]) * inv[:, None]
+            t_vec = t_face[face_ids]
+            handed = np.ones(len(face_ids), np.float32)
+        t_vec = t_vec - n * np.sum(t_vec * n, -1, keepdims=True)
+        t_norm = np.linalg.norm(t_vec, axis=-1, keepdims=True)
+        t_vec = np.where(t_norm > 1e-8, t_vec / np.maximum(t_norm, 1e-12),
+                         surf["frames"][..., 0])
+        b_vec = np.cross(n, t_vec) * handed[:, None]
+        nt = (tap[:, :3] * 2.0 - 1.0).copy()
+        nt[:, :2] *= ref["scale"]
+        n_new = (t_vec * nt[:, 0:1] + b_vec * nt[:, 1:2] + n * nt[:, 2:3])
+        n_new /= np.maximum(np.linalg.norm(n_new, axis=-1, keepdims=True),
+                            1e-12)
+        t_new = t_vec - n_new * np.sum(t_vec * n_new, -1, keepdims=True)
+        t_new /= np.maximum(np.linalg.norm(t_new, axis=-1, keepdims=True),
+                            1e-12)
+        frames = np.stack([t_new, np.cross(n_new, t_new), n_new], axis=-1)
+        out["normals"] = n_new.astype(np.float32)
+        out["quats"] = np.asarray(
+            rotmat_to_quat(jnp.asarray(frames, jnp.float32)))
+
+    mode = prim.get("alpha_mode", "OPAQUE")
+    if mode == "MASK":
+        # alpha.rahit:14-31 — cutoff compare; failing surfels are cut out.
+        out["keep"] = out["alpha"] >= prim.get("alpha_cutoff", 0.5)
+        out["alpha"] = np.ones(s, np.float32)
+    elif mode != "BLEND":
+        out["alpha"] = np.ones(s, np.float32)  # OPAQUE ignores alpha
+    return out
 
 
 def load_gltf_scene(path: str, surfels_per_unit_area: float = 200.0,
-                    opacity_logit: float = 7.0, seed: int = 13):
-    """Load a glTF file as (GaussianScene, PunctualLights|None)."""
+                    opacity_logit: float = 7.0, seed: int = 13,
+                    use_lod: bool = False, lod_factor: float = 1.0):
+    """Load a glTF file as (GaussianScene, PunctualLights|None).
+
+    Textures are baked per surfel (see :func:`bake_surfel_materials`);
+    ``use_lod``/``lod_factor`` enable footprint-aware mip selection (the
+    surfel analog of the reference's ray-cone LOD; scene-config keys
+    use_lod/lod_factor, engine.cpp:1243-1244)."""
     from pathtracer_gaussiansplatting_tpu.core.types import (
         make_punctual_lights, make_scene,
     )
     from pathtracer_gaussiansplatting_tpu.models.scene import concat_scenes
 
     parsed = parse_gltf(path)
+    tex_env = parsed.get("texture_env")
     parts = []
     for prim in parsed["primitives"]:
         surf = surfelize_mesh(prim["positions"], prim["indices"],
@@ -303,20 +555,32 @@ def load_gltf_scene(path: str, surfels_per_unit_area: float = 200.0,
         m = len(surf["means"])
         if m == 0:
             continue
-        color = np.tile(prim["base_color"][:3], (m, 1))
-        emissive = np.tile(prim["emissive"], (m, 1))
+        baked = bake_surfel_materials(prim, surf, tex_env,
+                                      use_lod=use_lod,
+                                      lod_factor=lod_factor)
+        keep = baked["keep"]
+        if not keep.any():
+            continue
+        # Fold BLEND-mode texture alpha into the surfel opacity (the
+        # stochastic-transparency analog of alpha.rahit:33-62: a Gaussian
+        # with opacity o*a transmits like a stochastic a-blend).
+        alpha = np.clip(baked["alpha"][keep], 1e-4, 1.0)
+        base_op = 1.0 / (1.0 + np.exp(-opacity_logit))
+        op = np.clip(base_op * alpha, 1e-4, 1.0 - 1e-6)
+        logits = np.log(op / (1.0 - op)).astype(np.float32)
         parts.append(make_scene(
-            means=surf["means"], log_scales=surf["log_scales"],
-            quats=surf["quats"],
-            opacity_logits=np.full(m, opacity_logit, np.float32),
-            colors=color, emission=emissive,
-            metallic=np.full(m, prim["metallic"], np.float32),
-            roughness=np.full(m, prim["roughness"], np.float32),
-            clearcoat=np.full(m, prim.get("clearcoat", 0.0), np.float32),
-            clearcoat_roughness=np.full(
-                m, max(prim.get("clearcoat_roughness", 0.0), 0.03),
-                np.float32),
-            transmission=np.full(m, prim.get("transmission", 0.0),
+            means=surf["means"][keep],
+            log_scales=surf["log_scales"][keep],
+            quats=np.asarray(baked["quats"])[keep],
+            opacity_logits=logits,
+            colors=baked["color"][keep],
+            emission=baked["emissive"][keep],
+            metallic=baked["metallic"][keep],
+            roughness=baked["roughness"][keep],
+            clearcoat=baked["clearcoat"][keep],
+            clearcoat_roughness=baked["clearcoat_roughness"][keep],
+            transmission=np.full(int(keep.sum()),
+                                 prim.get("transmission", 0.0),
                                  np.float32)))
     if not parts:
         raise ValueError(f"no geometry in {path}")
