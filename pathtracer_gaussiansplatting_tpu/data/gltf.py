@@ -90,23 +90,109 @@ def _read_accessor(gltf: dict, buffers: List[bytes], idx: int) -> np.ndarray:
     return rows
 
 
-def _node_matrix(node: dict) -> np.ndarray:
-    if "matrix" in node:
+def _node_matrix(node: dict, override: Optional[dict] = None) -> np.ndarray:
+    """Node-local transform; ``override`` replaces TRS components with
+    animation frame-0 values (the reference bakes frame 0,
+    gameobject.cpp:64-159; glTF forbids animating 'matrix' nodes)."""
+    override = override or {}
+    if "matrix" in node and not override:
         return np.asarray(node["matrix"], np.float64).reshape(4, 4).T
     m = np.eye(4)
-    if "scale" in node:
-        m[:3, :3] = np.diag(node["scale"])
-    if "rotation" in node:  # xyzw in glTF
-        x, y, z, w = node["rotation"]
+    scale = override.get("scale", node.get("scale"))
+    if scale is not None:
+        m[:3, :3] = np.diag(scale)
+    rotation = override.get("rotation", node.get("rotation"))
+    if rotation is not None:  # xyzw in glTF
+        x, y, z, w = rotation
         r = np.array([
             [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
             [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
             [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
         ])
         m[:3, :3] = r @ m[:3, :3]
-    if "translation" in node:
-        m[:3, 3] = node["translation"]
+    translation = override.get("translation", node.get("translation"))
+    if translation is not None:
+        m[:3, 3] = translation
     return m
+
+
+def _animation_frame0(gltf: dict, buffers: List[bytes]) -> Dict[int, dict]:
+    """Per-node TRS overrides from the first keyframe of every animation
+    channel (Gameobject bakes animation frame 0 into world transforms,
+    gameobject.cpp:64-159)."""
+    overrides: Dict[int, dict] = {}
+    for anim in gltf.get("animations", []):
+        for ch in anim.get("channels", []):
+            tgt = ch.get("target", {})
+            node, path_ = tgt.get("node"), tgt.get("path")
+            if node is None or path_ not in ("translation", "rotation",
+                                             "scale"):
+                continue
+            sampler = anim["samplers"][ch["sampler"]]
+            vals = _read_accessor(gltf, buffers, sampler["output"])
+            if sampler.get("interpolation") == "CUBICSPLINE":
+                vals = vals[1::3]  # keyframe values between tangent pairs
+            overrides.setdefault(node, {})[path_] =                 vals[0].astype(np.float64)
+    return overrides
+
+
+def _global_node_transforms(gltf: dict, buffers: List[bytes]
+                            ) -> List[np.ndarray]:
+    """World transform of EVERY node (joints included), with animation
+    frame-0 overrides applied (computeGlobalNodeTransforms analog)."""
+    nodes = gltf.get("nodes", [])
+    overrides = _animation_frame0(gltf, buffers)
+    parent = [-1] * len(nodes)
+    for i, node in enumerate(nodes):
+        for c in node.get("children", []):
+            parent[c] = i
+    globals_ = [None] * len(nodes)
+
+    def compute(i):
+        if globals_[i] is not None:
+            return globals_[i]
+        local = _node_matrix(nodes[i], overrides.get(i))
+        if parent[i] >= 0:
+            globals_[i] = compute(parent[i]) @ local
+        else:
+            globals_[i] = local
+        return globals_[i]
+
+    for i in range(len(nodes)):
+        compute(i)
+    return globals_
+
+
+def _skin_vertices(gltf: dict, buffers: List[bytes], prim: dict,
+                   skin_index: int, globals_: List[np.ndarray],
+                   pos: np.ndarray, nrm: Optional[np.ndarray]):
+    """Linear-blend skinning baked to world space (gameobject.cpp:562-795):
+    world_v = sum_j w_j (G_joint_j @ IBM_j) @ v_mesh. Returns (pos, nrm)."""
+    skin = gltf["skins"][skin_index]
+    joints = skin["joints"]
+    if "inverseBindMatrices" in skin:
+        ibm = _read_accessor(gltf, buffers, skin["inverseBindMatrices"])
+        ibm = ibm.reshape(-1, 4, 4).transpose(0, 2, 1).astype(np.float64)
+    else:
+        ibm = np.tile(np.eye(4), (len(joints), 1, 1))
+    jmats = np.stack([globals_[j] for j in joints]) @ ibm   # (J,4,4)
+    jidx = _read_accessor(gltf, buffers,
+                          prim["attributes"]["JOINTS_0"]).astype(np.int64)
+    wacc = gltf["accessors"][prim["attributes"]["WEIGHTS_0"]]
+    wts = _read_accessor(gltf, buffers, prim["attributes"]["WEIGHTS_0"])
+    if wacc["componentType"] == 5121:
+        wts = wts / 255.0
+    elif wacc["componentType"] == 5123:
+        wts = wts / 65535.0
+    wts = wts / np.maximum(wts.sum(-1, keepdims=True), 1e-12)
+    blended = np.einsum("vj,vjab->vab", wts, jmats[jidx])   # (V,4,4)
+    pos_w = np.einsum("vab,vb->va", blended[:, :3, :3], pos)         + blended[:, :3, 3]
+    nrm_w = None
+    if nrm is not None:
+        # normals via inverse-transpose of each vertex's blended linear part
+        inv_t = np.linalg.inv(blended[:, :3, :3]).transpose(0, 2, 1)
+        nrm_w = np.einsum("vab,vb->va", inv_t, nrm)
+    return pos_w, nrm_w
 
 
 def parse_gltf(path: str) -> dict:
@@ -216,23 +302,35 @@ def parse_gltf(path: str) -> dict:
             textures=textures,
         )
 
+    globals_ = _global_node_transforms(gltf, buffers)
+
     def walk(node_idx: int, parent: np.ndarray):
         node = gltf["nodes"][node_idx]
-        world = parent @ _node_matrix(node)
+        world = globals_[node_idx]   # includes animation frame-0 overrides
         if "mesh" in node:
             mesh = gltf["meshes"][node["mesh"]]
             for prim in mesh.get("primitives", []):
                 if "POSITION" not in prim.get("attributes", {}):
                     continue
                 pos = _read_accessor(gltf, buffers,
-                                     prim["attributes"]["POSITION"])
-                pos = pos.astype(np.float64) @ world[:3, :3].T + world[:3, 3]
+                                     prim["attributes"]["POSITION"]
+                                     ).astype(np.float64)
                 normals = None
                 if "NORMAL" in prim["attributes"]:
-                    nrm = _read_accessor(gltf, buffers,
-                                         prim["attributes"]["NORMAL"])
-                    nmat = np.linalg.inv(world[:3, :3]).T
-                    normals = nrm.astype(np.float64) @ nmat.T
+                    normals = _read_accessor(
+                        gltf, buffers,
+                        prim["attributes"]["NORMAL"]).astype(np.float64)
+                if "skin" in node and "JOINTS_0" in prim["attributes"]:
+                    # Skinned mesh: joint matrices replace the node's world
+                    # transform entirely (glTF LBS; gameobject.cpp:562-795).
+                    pos, normals = _skin_vertices(
+                        gltf, buffers, prim, node["skin"], globals_,
+                        pos, normals)
+                else:
+                    pos = pos @ world[:3, :3].T + world[:3, 3]
+                    if normals is not None:
+                        nmat = np.linalg.inv(world[:3, :3]).T
+                        normals = normals @ nmat.T
                 if "indices" in prim:
                     idx = _read_accessor(gltf, buffers, prim["indices"])
                     faces = idx.reshape(-1, 3).astype(np.int64)
