@@ -121,21 +121,38 @@ def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
     trace_fn, vis_fn = make_trace_backend(scene, settings, bounce_backend,
                                           **backend_kw)
 
-    def render(c2w, width, height, fov_y_deg):
-        cam = Camera(c2w=c2w, fov_y_deg=fov_y_deg, width=width,
-                     height=height)
-        packets = prepare_tiles(scene, cam, settings, config)
-        acc = jnp.zeros((height * width, 3))
-        for f in range(spp):
+    # ONE jit per pose: the spp loop runs on-device (lax.fori_loop) with
+    # in-graph jitter, mirroring the flat path's structure — the former
+    # host loop dispatched spp jitted calls per pose, which bounds capture
+    # throughput at production scale (host dispatch + per-sample jitter
+    # upload). Reference analog: accumulation_steps re-traces inside one
+    # command loop, engine.cpp:2684-2707.
+    @jax.jit
+    def pose_loop(packets, cam):
+        h, w = cam.height, cam.width
+
+        def body(f, acc):
             fkey = rng_mod.frame_key(base_key, f)
-            jitter = rng_mod.subpixel_jitter(base_key, height, width, f)
+            jitter = rng_mod.subpixel_jitter(base_key, h, w, f)
             cur = pathtrace_camera(scene, cam, settings, fkey,
                                    packets=packets, tables=tables,
                                    punctual=punctual, trace_fn=trace_fn,
                                    visibility_fn=vis_fn, config=config,
                                    jitter=jitter)
-            acc = accumulate(acc, cur, f)
-        return np.asarray(acc).reshape(height, width, 3)
+            return accumulate(acc, cur, f)
+
+        return jax.lax.fori_loop(0, spp, body,
+                                 jnp.zeros((h * w, 3), jnp.float32))
+
+    def render(c2w, width, height, fov_y_deg, stats_out=None):
+        cam = Camera(c2w=c2w, fov_y_deg=fov_y_deg, width=width,
+                     height=height)
+        packets = prepare_tiles(scene, cam, settings, config)
+        if stats_out is not None:
+            for k, v in packets.items():
+                if k.startswith("stat_"):
+                    stats_out[k[5:]] = stats_out.get(k[5:], 0.0) + float(v)
+        return np.asarray(pose_loop(packets, cam)).reshape(height, width, 3)
 
     return render
 
@@ -195,6 +212,7 @@ def capture_scene_data(scene, out_dir: str,
         if resume else None
 
     fov_x = None
+    bin_stats = {}
     if capture_images:
         for i in range(total_positions):
             alpha = cap_rng.uniform(0.0, 360.0)
@@ -205,7 +223,8 @@ def capture_scene_data(scene, out_dir: str,
             if not (journal and journal.is_done(i)
                     and os.path.exists(img_path)):
                 if tiled_images:
-                    img = pose_render(c2w, width, height, fov_y_deg)
+                    img = pose_render(c2w, width, height, fov_y_deg,
+                                      stats_out=bin_stats)
                 else:
                     img = render_pose(render_fn, c2w, width, height,
                                       fov_y_deg, chunk)
@@ -219,6 +238,15 @@ def capture_scene_data(scene, out_dir: str,
             if progress:
                 progress(f"captured position {i + 1}/{total_positions} "
                          f"(alpha={alpha:.1f}, beta={beta:.1f})")
+        if bin_stats and progress:
+            # Binning truncation report (no silent caps): pairs dropped by
+            # the per-Gaussian tile cap and by per-tile K capacity, summed
+            # over every captured pose.
+            progress("binning truncation over capture: "
+                     f"cap_dropped_tiles={bin_stats.get('cap_dropped_tiles', 0):.3g} "
+                     f"(gaussians affected {bin_stats.get('cap_truncated', 0):.3g}), "
+                     f"tile_dropped={bin_stats.get('tile_dropped', 0):.3g} "
+                     f"over {bin_stats.get('tile_overflow', 0):.3g} overflowing tiles")
         cam = Camera(c2w=jnp.eye(4), fov_y_deg=fov_y_deg,
                      width=width, height=height)
         fov_x = cam.fov_x_rad

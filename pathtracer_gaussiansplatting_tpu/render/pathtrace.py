@@ -328,16 +328,19 @@ def interaction_from_tile_arrays(out, origins, dirs, settings):
 def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
                      key, packets=None, tables=None, punctual=None,
                      trace_fn=None, visibility_fn=None,
-                     config=None, jitter=None, chunk: int = 65536):
+                     config=None, jitter=None, chunk: int = 16384):
     """Production path tracing for a camera pose: fused tile pipeline for the
     primary hit (binning amortized via ``packets`` from prepare_tiles),
     grid/dense backend for bounces and shadows.
 
     The primary stage stays in tile-major order end-to-end (no 14-channel
     image transpose); only the final radiance is untiled back to row-major.
-    The bounce continuation runs in ray chunks of ``chunk`` (the grid DDA
-    gathers (R, Kc, 3, 3) canonical transforms per step — unbounded R blows
-    HBM at 4K images). Returns (H*W, 3) radiance.
+    The bounce continuation runs as an ON-DEVICE lax.map over fixed-size
+    ray chunks (the grid DDA gathers (R, Kc, 3, 3) canonical transforms
+    per step — unbounded R blows HBM at 4K images; a 64k-ray chunk was
+    observed to fault the v5e worker, hence the 16k default). The whole
+    function is jit-traceable, so callers can fori_loop it over spp.
+    Returns (H*W, 3) radiance.
     """
     from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
     from pathtracer_gaussiansplatting_tpu.render.tiled import (
@@ -366,18 +369,27 @@ def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
                                 punctual=punctual, trace_fn=trace_fn,
                                 visibility_fn=visibility_fn,
                                 primary_interaction=primary))
-    parts = []
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        sub_rays = Rays(rays.origins[s:e], rays.directions[s:e])
-        sub_primary = {k: v[s:e] for k, v in primary.items()}
-        parts.append(pathtrace(scene, sub_rays, settings,
-                               jax.random.fold_in(key, s // chunk),
-                               tables=tables, punctual=punctual,
-                               trace_fn=trace_fn,
-                               visibility_fn=visibility_fn,
-                               primary_interaction=sub_primary))
-    return finish(jnp.concatenate(parts, axis=0))
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def shard(x):
+        if pad:
+            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    xs = (jnp.arange(n_chunks), shard(rays.origins), shard(rays.directions),
+          {k: shard(v) for k, v in primary.items()})
+
+    def chunk_fn(args):
+        idx, o, d, prim = args
+        return pathtrace(scene, Rays(o, d), settings,
+                         jax.random.fold_in(key, idx),
+                         tables=tables, punctual=punctual,
+                         trace_fn=trace_fn, visibility_fn=visibility_fn,
+                         primary_interaction=prim)
+
+    parts = jax.lax.map(chunk_fn, xs)
+    return finish(parts.reshape(n_chunks * chunk, 3)[:n])
 
 
 def accumulate(prev, cur, frame):

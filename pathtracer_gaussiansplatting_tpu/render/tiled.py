@@ -136,12 +136,17 @@ def prepare_tiles(scene: GaussianScene, camera: Camera,
 
     tiles_x, tiles_y = num_tiles(camera, config)
     proj = project_gaussians(scene, camera, config)
-    tile_idx, tile_mask, _, _stats = bin_gaussians(proj, tiles_x, tiles_y,
-                                                   config)
+    tile_idx, tile_mask, _, stats = bin_gaussians(proj, tiles_x, tiles_y,
+                                                  config)
     origin = camera.c2w[:3, 3]
     feats_all = _packet_features(scene, origin, settings)
     packets = build_tile_packets(scene, feats_all, origin, tile_idx,
                                  tile_mask)
+    # Truncation observability (SURVEY's no-silent-caps rule): scalar
+    # binning stats ride along as extra packet leaves; the kernels ignore
+    # them, capture logs them (VERDICT r1 #8).
+    for k, v in stats.items():
+        packets["stat_" + k] = v
     return packets
 
 

@@ -133,3 +133,22 @@ class TestTiledRender:
         assert float(np.abs(np.asarray(out["feats"][..., 3:6])).sum()) > 0
         n = np.asarray(out["feats"][..., 8:11])
         assert np.isfinite(n).all()
+
+
+class TestTruncationStats:
+    def test_dense_cluster_reports_truncation(self, rng):
+        """A dense cluster overflowing per-tile K and the per-Gaussian tile
+        cap must be COUNTED, not silent (VERDICT r1: no silent caps)."""
+        from utils import random_scene
+
+        scene = random_scene(600, rng, spread=0.01)  # all in one spot
+        cam = Camera(c2w=look_at((0, 0, 2.0), (0, 0, 0)), fov_y_deg=50.0,
+                     width=64, height=64)
+        cfg = BinningConfig(max_per_tile=32, max_tiles_per_gaussian=4)
+        tx_, ty_ = num_tiles(cam, cfg)
+        proj = project_gaussians(scene, cam, cfg)
+        _, _, counts, stats = bin_gaussians(proj, tx_, ty_, cfg)
+        assert float(stats["tile_dropped"]) > 0          # K overflow counted
+        assert int(stats["tile_overflow"]) >= 1
+        assert float(stats["cap_dropped_tiles"]) > 0     # cap counted
+        assert int(counts.max()) == cfg.max_per_tile
