@@ -92,21 +92,40 @@ def gauss_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(GAUSS_AXIS))
 
 
+def _put(x, sharding: NamedSharding):
+    """Multi-controller-safe placement.
+
+    * Tracers (inside jit/grad): a sharding constraint, not a transfer.
+    * Single process: plain device_put.
+    * Multi-process: jax.make_array_from_callback — every process supplies
+      its addressable shards from the (identical) host value; device_put
+      would need cross-host transfers, which the CPU backend (and DCN-less
+      setups) refuse.
+    """
+    if isinstance(x, jax.core.Tracer):
+        return jax.lax.with_sharding_constraint(x, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def shard_rays(rays, mesh: Mesh):
-    """Device-put a Rays batch with the ray axis sharded."""
+    """Place a Rays batch with the ray axis sharded."""
     s = ray_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), rays)
+    return jax.tree.map(lambda x: _put(x, s), rays)
 
 
 def replicate_scene(scene, mesh: Mesh):
-    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), scene)
+    return jax.tree.map(lambda x: _put(x, replicated(mesh)), scene)
 
 
 def shard_scene(scene, mesh: Mesh):
     """Shard every Gaussian-axis array across the gauss axis (pad first so
     N divides the axis size — see pad_to_multiple)."""
     s = gauss_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), scene)
+    return jax.tree.map(lambda x: _put(x, s), scene)
 
 
 def pad_to_multiple(scene, multiple: int):
