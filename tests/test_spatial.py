@@ -202,3 +202,107 @@ class TestSpatialRing:
         if extra:
             pad_opac = np.asarray(slabbed.opacities[-extra:])
             assert (pad_opac < 1e-3).all()
+
+
+class TestSpatialGrads:
+    def test_render_spatial_grads_match_single_slab(self, rng):
+        """BASELINE config #5 requires the full backward through the
+        spatially-partitioned path (VERDICT r1 #6). Oracle: the SAME slab
+        compositor with the whole scene resident in one slab (gauss axis
+        1) — this isolates the ring mechanics (ppermute carries, segment
+        folds, wrap ordering) in the backward. The mean-projection-vs-
+        exact-t ordering approximation vs the dense renderer is covered by
+        the forward oracle tests at its own tolerance; its GRADIENTS are
+        legitimately different wherever top-K truncation or ordering
+        differ, so dense is not a valid grad oracle here."""
+        scene = random_scene(64, rng, spread=1.0)
+        slabbed, axis = partition_slabs(scene, 4)
+        rays_np = _rays(rng, 64)
+        settings = RenderSettings(max_contribs=96,
+                                  background=(0.1, 0.2, 0.3))
+
+        mesh = make_mesh((2, 4))
+        sharded = shard_scene(slabbed, mesh)
+        rays = jax.tree.map(
+            lambda x: jax.device_put(x, spatial_sharding(mesh)), rays_np)
+
+        mesh1 = make_mesh((8, 1))
+        slab1, _ = partition_slabs(scene, 1)
+        sharded1 = shard_scene(slab1, mesh1)
+        rays1 = jax.tree.map(
+            lambda x: jax.device_put(x, spatial_sharding(mesh1)), rays_np)
+
+        def loss_ring(means):
+            out = render_spatial(sharded.replace(means=means), rays,
+                                 settings, mesh)
+            return jnp.mean(out ** 2)
+
+        def loss_one(means):
+            out = render_spatial(sharded1.replace(means=means), rays1,
+                                 settings, mesh1)
+            return jnp.mean(out ** 2)
+
+        g_ring = np.asarray(jax.grad(loss_ring)(sharded.means))
+        g_one = np.asarray(jax.grad(loss_one)(sharded1.means))
+        # forward parity first (same contributor sets, same ordering key)
+        np.testing.assert_allclose(
+            np.asarray(render_spatial(sharded, rays, settings, mesh)),
+            np.asarray(render_spatial(sharded1, rays1, settings, mesh1)),
+            rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(g_ring, g_one, rtol=2e-3, atol=2e-5)
+
+    def test_trace_spatial_grads_flow(self, rng):
+        """Gradients also flow through the full-interaction trace path
+        (opacity channel feeds alpha/depth)."""
+        from pathtracer_gaussiansplatting_tpu.parallel.spatial import (
+            trace_spatial,
+        )
+
+        mesh = make_mesh((2, 4))
+        scene = random_scene(48, rng, spread=1.0)
+        slabbed, _ = partition_slabs(scene, 4)
+        sharded = shard_scene(slabbed, mesh)
+        rays = _rays(rng, 32)
+        rays = jax.tree.map(
+            lambda x: jax.device_put(x, spatial_sharding(mesh)), rays)
+        settings = RenderSettings(max_contribs=24)
+
+        def loss(logits):
+            inter = trace_spatial(sharded.replace(opacity_logits=logits),
+                                  rays, settings, mesh)
+            return jnp.mean(inter["albedo"] ** 2) + jnp.mean(
+                inter["alpha_acc"])
+
+        g = np.asarray(jax.grad(loss)(sharded.opacity_logits))
+        assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+class TestSpatialScaleSmoke:
+    @pytest.mark.slow
+    def test_2m_gaussians_4k_tile_memory_layout(self, rng):
+        """Config #5 dryrun-scale smoke: 2M Gaussians partitioned over the
+        8-device mesh, a small ray tile of a 4K render, forward + backward.
+        Proves the memory layout (resident slabs, per-shard top-K working
+        set) holds at production parameter counts."""
+        from pathtracer_gaussiansplatting_tpu.models.scene import (
+            random_cloud,
+        )
+
+        mesh = make_mesh((1, 8))
+        scene = random_cloud(2_000_000, seed=13, spread=2.0)
+        slabbed, _ = partition_slabs(scene, 8)
+        sharded = shard_scene(slabbed, mesh)
+        rays = _rays(rng, 64)   # a 64-ray tile of the 3840x2160 grid
+        rays = jax.tree.map(
+            lambda x: jax.device_put(x, spatial_sharding(mesh)), rays)
+        settings = RenderSettings(max_contribs=64)
+        out = render_spatial(sharded, rays, settings, mesh)
+        assert np.isfinite(np.asarray(out)).all()
+
+        def loss(opacity_logits):
+            o = render_spatial(sharded.replace(opacity_logits=opacity_logits),
+                               rays, settings, mesh)
+            return jnp.mean(o ** 2)
+
+        g = jax.grad(loss)(sharded.opacity_logits)
+        assert np.isfinite(np.asarray(jnp.sum(g)))
