@@ -66,19 +66,27 @@ def make_accumulating_renderer(scene, settings: RenderSettings, punctual,
     trace_fn, vis_fn = make_trace_backend(scene, settings, backend,
                                           **backend_kw)
 
+    # Everything array-valued (scene, light tables, Partial-wrapped
+    # backends) rides the jit boundary as ARGUMENTS — closure capture would
+    # inline them as HLO constants (render/pipeline.py docstring).
     @jax.jit
-    def render(origins, directions):
+    def render_impl(scene_, tables_, trace_fn_, vis_fn_, origins,
+                    directions):
         rays = Rays(origins, directions)
 
         def body(i, acc):
-            cur = pathtrace(scene, rays, settings,
+            cur = pathtrace(scene_, rays, settings,
                             rng_mod.frame_key(base_key, i),
-                            tables=tables, punctual=punctual,
-                            trace_fn=trace_fn, visibility_fn=vis_fn)
+                            tables=tables_, punctual=punctual,
+                            trace_fn=trace_fn_, visibility_fn=vis_fn_)
             return acc + (cur - acc) / (i + 1.0)
 
         init = jnp.zeros((origins.shape[0], 3))
         return jax.lax.fori_loop(0, spp, body, init)
+
+    def render(origins, directions):
+        return render_impl(scene, tables, trace_fn, vis_fn, origins,
+                           directions)
 
     return render
 
@@ -127,17 +135,19 @@ def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
     # throughput at production scale (host dispatch + per-sample jitter
     # upload). Reference analog: accumulation_steps re-traces inside one
     # command loop, engine.cpp:2684-2707.
+    # Array state enters as jit ARGUMENTS (not closure constants) — see
+    # render/pipeline.py docstring.
     @jax.jit
-    def pose_loop(packets, cam):
+    def pose_loop(scene_, tables_, trace_fn_, vis_fn_, packets, cam):
         h, w = cam.height, cam.width
 
         def body(f, acc):
             fkey = rng_mod.frame_key(base_key, f)
             jitter = rng_mod.subpixel_jitter(base_key, h, w, f)
-            cur = pathtrace_camera(scene, cam, settings, fkey,
-                                   packets=packets, tables=tables,
-                                   punctual=punctual, trace_fn=trace_fn,
-                                   visibility_fn=vis_fn, config=config,
+            cur = pathtrace_camera(scene_, cam, settings, fkey,
+                                   packets=packets, tables=tables_,
+                                   punctual=punctual, trace_fn=trace_fn_,
+                                   visibility_fn=vis_fn_, config=config,
                                    jitter=jitter)
             return accumulate(acc, cur, f)
 
@@ -152,7 +162,8 @@ def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
             for k, v in packets.items():
                 if k.startswith("stat_"):
                     stats_out[k[5:]] = stats_out.get(k[5:], 0.0) + float(v)
-        return np.asarray(pose_loop(packets, cam)).reshape(height, width, 3)
+        img = pose_loop(scene, tables, trace_fn, vis_fn, packets, cam)
+        return np.asarray(img).reshape(height, width, 3)
 
     return render
 
