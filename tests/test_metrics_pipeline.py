@@ -47,7 +47,9 @@ class TestPipeline:
         from pathtracer_gaussiansplatting_tpu.render.reference import trace_dense
 
         trace_fn, _ = make_trace_backend(scene, settings, "auto")
-        assert trace_fn is trace_dense
+        # Backends are jax.tree_util.Partial pytrees (render/pipeline.py):
+        # check the wrapped callable.
+        assert trace_fn.func is trace_dense
 
     def test_grid_backend_renders(self, rng):
         scene = random_scene(300, rng, spread=1.0)
