@@ -19,7 +19,7 @@ def main():
 
     from pathtracer_gaussiansplatting_tpu.core.camera import Camera, look_at
     from pathtracer_gaussiansplatting_tpu.core.types import RenderSettings
-    from pathtracer_gaussiansplatting_tpu.models.scene import random_cloud
+    from pathtracer_gaussiansplatting_tpu.models.scene import surface_scene
     from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
     from pathtracer_gaussiansplatting_tpu.render.lights import build_light_tables
     from pathtracer_gaussiansplatting_tpu.render.pathtrace import (
@@ -40,10 +40,13 @@ def main():
     def fence(*trees):
         return float(sum(jnp.sum(a) for a in jax.tree.leaves(trees)))
 
-    scene = random_cloud(n, seed=13, spread=1.5, emissive_frac=0.02)
-    cam = Camera(c2w=look_at((0.0, 0.5, 4.0), (0.0, 0.0, 0.0)),
-                 fov_y_deg=50.0, width=w, height=h)
-    settings = RenderSettings(background=(0.1, 0.2, 0.3), max_depth=depth)
+    # Surface-structured Cornell-style room at trained-3DGS splat scales
+    # (the reference's rt_box showcase geometry, engine.cpp:181-335).
+    scene = surface_scene(n, seed=13)
+    cam = Camera(c2w=look_at((0.0, 0.2, 1.7), (0.0, -0.4, -0.5)),
+                 fov_y_deg=60.0, width=w, height=h)
+    settings = RenderSettings(background=(0.0, 0.0, 0.0), max_depth=depth,
+                              ambient=(0.05, 0.05, 0.06, 1.0))
     cfg = BinningConfig()
     tables = build_light_tables(scene)
     trace_fn, vis_fn = make_trace_backend(scene, settings, "grid")

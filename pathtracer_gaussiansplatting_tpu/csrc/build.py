@@ -65,6 +65,9 @@ def get_lib():
         lib.radix_argsort_u32.argtypes = [u32p, i64, i32p]
         lib.grid_bin.argtypes = [fp, fp, i64, fp, fp, i32, i32, i32, i32,
                                  i32p, i32p]
+        lib.grid_bin_aniso.argtypes = [fp, fp, fp, i64, fp, fp, i32, i32,
+                                       i32, i32, i32p, i32p]
+        lib.chebyshev_dist.argtypes = [u8p, i32, i32, i32, i32, u8p]
         lib.format_ply_rows.argtypes = [fp, fp, u8p, i64,
                                         ctypes.c_char_p, i64]
         lib.format_ply_rows.restype = i64
@@ -153,6 +156,104 @@ def grid_bin(centers, radii, grid_dims, lo=None, hi=None,
                         idx[cell, cnt[cell]] = i
                     cnt[cell] += 1
     return idx, cnt, lo, hi
+
+
+def grid_bin_aniso(centers, extents, priority, grid_dims, lo, hi,
+                   max_per_cell: int = 16):
+    """Bin axis-aligned boxes (center +- per-axis extent) into a grid.
+
+    When a cell overflows ``max_per_cell``, the lowest-``priority`` entry
+    is evicted (keep the strongest contributors). Returns
+    (cell_indices (gz*gy*gx, max_per_cell) int32 padded with -1,
+     cell_counts (gz*gy*gx,) int32 untruncated).
+    """
+    centers = np.ascontiguousarray(centers, np.float32)
+    extents = np.ascontiguousarray(extents, np.float32)
+    priority = np.ascontiguousarray(priority, np.float32)
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    gx, gy, gz = (int(d) for d in grid_dims)
+    n_cells = gx * gy * gz
+    n = len(centers)
+    lib = get_lib()
+    if lib is not None:
+        idx = np.empty((n_cells, max_per_cell), np.int32)
+        cnt = np.empty(n_cells, np.int32)
+        lib.grid_bin_aniso(
+            _fptr(centers), _fptr(extents), _fptr(priority), n,
+            _fptr(lo), _fptr(hi), gx, gy, gz, max_per_cell,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return idx, cnt
+    # numpy fallback (oracle)
+    ext = np.maximum(hi - lo, 1e-12)
+    dims = np.array([gx, gy, gz])
+    c0 = np.clip(np.floor((centers - extents - lo) / ext * dims),
+                 0, dims - 1).astype(np.int64)
+    c1 = np.clip(np.floor((centers + extents - lo) / ext * dims),
+                 0, dims - 1).astype(np.int64)
+    idx = np.full((n_cells, max_per_cell), -1, np.int32)
+    prio = np.zeros((n_cells, max_per_cell), np.float32)
+    cnt = np.zeros(n_cells, np.int32)
+    for i in range(n):
+        for z in range(c0[i, 2], c1[i, 2] + 1):
+            for y in range(c0[i, 1], c1[i, 1] + 1):
+                for x in range(c0[i, 0], c1[i, 0] + 1):
+                    cell = (z * gy + y) * gx + x
+                    c = cnt[cell]
+                    cnt[cell] = c + 1
+                    if c < max_per_cell:
+                        idx[cell, c] = i
+                        prio[cell, c] = priority[i]
+                    else:
+                        s = int(np.argmin(prio[cell]))
+                        if priority[i] > prio[cell, s]:
+                            idx[cell, s] = i
+                            prio[cell, s] = priority[i]
+    return idx, cnt
+
+
+def chebyshev_dist(occupied, grid_dims, cap: int = 32) -> np.ndarray:
+    """Exact chessboard distance to the nearest occupied cell (<= cap).
+
+    occupied: (gz*gy*gx,) bool/uint8 in z-major linear order (matching
+    grid_bin). Returns (gz*gy*gx,) uint8, 0 at occupied cells.
+    """
+    gx, gy, gz = (int(d) for d in grid_dims)
+    occ = np.ascontiguousarray(
+        np.asarray(occupied, np.uint8).reshape(gz * gy * gx))
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(gz * gy * gx, np.uint8)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.chebyshev_dist(occ.ctypes.data_as(u8), gx, gy, gz, cap,
+                           out.ctypes.data_as(u8))
+        return out
+    # numpy fallback: iterative 26-neighbor dilation (cap passes)
+    occ3 = occ.reshape(gz, gy, gx).astype(bool)
+    dist = np.where(occ3, 0, cap).astype(np.int32)
+    frontier = occ3
+    for step in range(1, cap):
+        if not frontier.any():
+            break
+        grown = np.zeros_like(frontier)
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    sl = grown[max(dz, 0) or None:gz + min(dz, 0) or None,
+                               max(dy, 0) or None:gy + min(dy, 0) or None,
+                               max(dx, 0) or None:gx + min(dx, 0) or None]
+                    src = frontier[max(-dz, 0) or None:
+                                   gz + min(-dz, 0) or None,
+                                   max(-dy, 0) or None:
+                                   gy + min(-dy, 0) or None,
+                                   max(-dx, 0) or None:
+                                   gx + min(-dx, 0) or None]
+                    np.logical_or(sl, src, out=sl)
+        newly = grown & (dist > step)
+        dist[newly] = step
+        frontier = grown
+    return dist.astype(np.uint8).reshape(-1)
 
 
 def format_ply_rows(pos, nrm, rgb) -> str:

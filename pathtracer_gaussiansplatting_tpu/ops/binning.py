@@ -48,7 +48,11 @@ from pathtracer_gaussiansplatting_tpu.ops.quaternions import rotmat_cols
 class BinningConfig:
     tile_size: int = 16
     max_tiles_per_gaussian: int = 16  # static cap on duplicated pairs
-    max_per_tile: int = 256           # K: per-tile list capacity
+    max_per_tile: int = 512           # K: per-tile list capacity. 256 was
+    # measured to punch visible sky-holes into dense surface scenes: tiles
+    # seeing a surface at grazing angle bin >256 conservative stamps and
+    # the nearest-K retention keeps barely-contributing near splats over
+    # the actually-covering ones (stat_tile_dropped counts this).
     sigma_extent: float = 3.0         # stamp tiles within k sigma
     near: float = 0.05                # cull behind this view depth
     radius_clamp_px: float = 512.0    # cap projected radius (huge splats)

@@ -64,9 +64,9 @@ def _spatial_vis(mesh, settings, scene_slabbed, o, d, t):
 
 def make_trace_backend(scene: GaussianScene, settings: RenderSettings,
                        backend: str = "auto",
-                       grid_dims: Tuple[int, int, int] = (64, 64, 64),
-                       max_per_cell: int = 64,
-                       max_steps: int = 128,
+                       grid_dims: Optional[Tuple[int, int, int]] = None,
+                       max_per_cell: int = 32,
+                       max_steps: int = 192,
                        accel=None):
     """Build (trace_fn, visibility_fn) for the chosen backend.
 
@@ -74,6 +74,7 @@ def make_trace_backend(scene: GaussianScene, settings: RenderSettings,
     visibility_fn(origins, dirs, t_end) -> transmittance. Both are
     jax.tree_util.Partial pytrees binding any acceleration structure
     (built here, on the host, once) — pass them as jit ARGUMENTS.
+    ``grid_dims=None`` auto-fits the grid to the scene (fit_grid).
     """
     if backend == "auto":
         backend = "dense" if scene.num_gaussians <= AUTO_DENSE_LIMIT \

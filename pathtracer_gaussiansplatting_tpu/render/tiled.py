@@ -134,6 +134,13 @@ def prepare_tiles(scene: GaussianScene, camera: Camera,
         build_tile_packets,
     )
 
+    if config.alpha_min != settings.alpha_min:
+        # The binning footprint shrink assumes the kernel kills alpha below
+        # the SAME cutoff; a mismatch silently desyncs footprints from the
+        # compositor (splats vanish near tile edges) — fail loudly instead.
+        raise ValueError(
+            f"BinningConfig.alpha_min ({config.alpha_min}) must match "
+            f"RenderSettings.alpha_min ({settings.alpha_min})")
     tiles_x, tiles_y = num_tiles(camera, config)
     proj = project_gaussians(scene, camera, config)
     tile_idx, tile_mask, _, stats = bin_gaussians(proj, tiles_x, tiles_y,

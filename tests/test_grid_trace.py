@@ -8,7 +8,7 @@ from pathtracer_gaussiansplatting_tpu.core.camera import Camera, generate_rays, 
 from pathtracer_gaussiansplatting_tpu.core.types import Rays, RenderSettings
 from pathtracer_gaussiansplatting_tpu.render import reference as ref
 from pathtracer_gaussiansplatting_tpu.render.grid_trace import (
-    build_grid_accel, grid_topk, trace_grid, visibility_grid,
+    build_grid_accel, trace_grid, visibility_grid,
 )
 
 from utils import random_scene
@@ -39,14 +39,15 @@ class TestGridTrace:
         np.testing.assert_allclose(np.asarray(out_g["depth"])[hit],
                                    np.asarray(out_d["depth"])[hit], atol=2e-2)
 
-    def test_topk_alpha_sets_match(self, setup):
-        scene, accel, rays, settings = setup
-        gi, gt, ga = grid_topk(scene, accel, rays, settings, max_steps=64)
-        di, dt, da = ref.dense_topk(scene, rays, settings)
-        # compositing weight sums must match (same contribution sets)
-        np.testing.assert_allclose(
-            np.asarray(1 - jnp.prod(1 - ga, -1)),
-            np.asarray(1 - jnp.prod(1 - da, -1)), atol=5e-3)
+    def test_autofit_build_and_stats(self, setup):
+        scene, _, rays, settings = setup
+        accel = build_grid_accel(scene)  # auto-fitted dims + radius cap
+        stats = accel.stats_dict
+        assert set(stats) >= {"clamped_frac", "dropped_frac",
+                              "overflow_cell_frac", "dims", "max_per_cell"}
+        assert stats["clamped_frac"] <= 0.02  # p99 cap by construction
+        out = trace_grid(scene, rays, settings, accel)
+        assert np.isfinite(np.asarray(out["albedo"])).all()
 
     def test_visibility_matches_dense(self, setup):
         scene, accel, rays, settings = setup
