@@ -162,6 +162,51 @@ def cmd_view_pointcloud(args):
     print(f"wrote {args.output}")
 
 
+def cmd_interact(args):
+    """Headless interactive session (the reference's GLFW loop, scripted).
+
+    Reads commands from stdin, one per line:
+      w/a/s/d/c/r/p/z/x/m/n/u/j/1..7   hotkeys (see render/session.py)
+      look DX DY                        cursor deltas
+      step [N]                          accumulate N samples (default 1)
+      save PATH.png                     write the current image
+      quit
+    """
+    from pathtracer_gaussiansplatting_tpu.data.images import save_png
+    from pathtracer_gaussiansplatting_tpu.render.session import (
+        InteractiveSession,
+    )
+
+    _, scene, punctual, settings = _load(args)
+    sess = InteractiveSession(scene, settings, width=args.width or 320,
+                              height=args.height or 240, punctual=punctual)
+    img = None
+    stream = open(args.commands) if args.commands else sys.stdin
+    for line in stream:
+        parts = line.split()
+        if not parts:
+            continue
+        cmd = parts[0].lower()
+        if cmd == "quit":
+            break
+        elif cmd == "look":
+            sess.look(float(parts[1]), float(parts[2]))
+        elif cmd == "step":
+            for _ in range(int(parts[1]) if len(parts) > 1 else 1):
+                img = sess.step()
+            print(f"frame {sess.frame} mode={sess.render_mode} "
+                  f"cam={sess.camera_mode}")
+        elif cmd == "save":
+            if img is None:
+                img = sess.step()
+            save_png(parts[1], img)
+            print(f"saved {parts[1]}")
+        else:
+            sess.key(cmd)
+    if args.output and img is not None:
+        save_png(args.output, img)
+
+
 def cmd_bench(args):
     import bench
 
@@ -221,6 +266,13 @@ def main(argv=None):
     sp.add_argument("--height", type=int, default=0)
     sp.add_argument("--point-size", type=int, default=2)
     sp.set_defaults(fn=cmd_view_pointcloud)
+
+    sp = sub.add_parser(
+        "interact", help="headless interactive session (scripted hotkeys)")
+    common(sp, "")
+    sp.add_argument("--commands", default=None,
+                    help="command file (default: stdin)")
+    sp.set_defaults(fn=cmd_interact)
 
     sp = sub.add_parser("bench", help="benchmark harness")
     sp.set_defaults(fn=cmd_bench)

@@ -60,16 +60,23 @@ _G_OPAC = 9
 GEOM_COLS = 12          # 2 pad cols; 12*Kc stays a multiple of 128
 
 # Feature packet columns (only gathered by interaction traces; bf16 by
-# default). Color is factored deg-1 SH:
-# color(d) = max(DC + d.y*BY + d.z*BZ + d.x*BX + 0.5, 0).
-_F_DC = slice(0, 3)
-_F_BY = slice(3, 6)
-_F_BZ = slice(6, 9)
-_F_BX = slice(9, 12)
-_F_EMI = slice(12, 15)
-_F_MET, _F_ROUGH, _F_CC, _F_CCR, _F_TRANS = 15, 16, 17, 18, 19
-_F_AXIS = slice(20, 23)  # shortest principal axis (surfel normal, unsigned)
-FEAT_COLS = 24
+# default). Two layouts: degree-0 scenes skip the 9 factored deg-1 SH
+# columns (gathers are the marcher's dominant cost).
+# Color: deg1 = max(DC + d.y*BY + d.z*BZ + d.x*BX + 0.5, 0); deg0 drops
+# the linear terms. Layout per width:
+#   16 cols: dc(3) emi(3) met rough cc ccr trn axis(3) pad(2)
+#   24 cols: dc(3) by(3) bz(3) bx(3) emi(3) met rough cc ccr trn axis(3) pad
+FEAT_COLS_DEG0 = 16
+FEAT_COLS_DEG1 = 24
+
+
+def _feat_layout(ncols: int) -> dict:
+    """Column index of each feature channel for the given table width."""
+    if ncols == FEAT_COLS_DEG0:
+        return dict(dc=0, by=None, bz=None, bx=None, emi=3, met=6,
+                    rough=7, cc=8, ccr=9, trn=10, axis=11)
+    return dict(dc=0, by=3, bz=6, bx=9, emi=12, met=15, rough=16,
+                cc=17, ccr=18, trn=19, axis=20)
 
 
 @jax.tree_util.register_dataclass
@@ -132,27 +139,28 @@ def _geometry_table(scene: GaussianScene) -> jnp.ndarray:
 
 
 def _feature_table(scene: GaussianScene) -> jnp.ndarray:
-    """(N, 24) packed feature rows (deg<=1 factored SH + PBR scalars +
-    surfel axis)."""
+    """(N, 16 or 24) packed feature rows (deg<=1 factored SH + PBR
+    scalars + surfel axis); deg-0 scenes use the narrow layout."""
     from pathtracer_gaussiansplatting_tpu.ops.gaussians import surfel_normal
 
     sh = scene.sh_coeffs
-    n = sh.shape[0]
     dc = sh[:, 0, :] * sh_mod.SH_C0
-    zero = jnp.zeros((n, 3), jnp.float32)
-    if sh.shape[1] >= 4:
+    deg1 = sh.shape[1] >= 4
+    scalars = [scene.metallic[:, None], scene.roughness[:, None],
+               scene.clearcoat[:, None], scene.clearcoat_roughness[:, None],
+               scene.transmission[:, None]]
+    axis = surfel_normal(scene.log_scales, scene.quats)
+    if deg1:
         by = -sh_mod.SH_C1 * sh[:, 1, :]
         bz = sh_mod.SH_C1 * sh[:, 2, :]
         bx = -sh_mod.SH_C1 * sh[:, 3, :]
+        cols = [dc, by, bz, bx, scene.emission] + scalars + [axis]
+        width = FEAT_COLS_DEG1
     else:
-        by = bz = bx = zero
-    axis = surfel_normal(scene.log_scales, scene.quats)
-    cols = [dc, by, bz, bx, scene.emission,
-            scene.metallic[:, None], scene.roughness[:, None],
-            scene.clearcoat[:, None], scene.clearcoat_roughness[:, None],
-            scene.transmission[:, None], axis]
+        cols = [dc, scene.emission] + scalars + [axis]
+        width = FEAT_COLS_DEG0
     table = jnp.concatenate(cols, axis=-1)
-    return jnp.pad(table, ((0, 0), (0, FEAT_COLS - table.shape[-1])))
+    return jnp.pad(table, ((0, 0), (0, width - table.shape[-1])))
 
 
 def _aniso_extents(scene: GaussianScene, sigma: float) -> np.ndarray:
@@ -234,8 +242,8 @@ def build_grid_accel(scene: GaussianScene, dims=None,
         n_clamped = int((h_max > cap).sum())
     n = scene.num_gaussians
     priority = np.asarray(scene.opacities, np.float32)
-    row_bytes = max_per_cell * (GEOM_COLS * 4
-                                + FEAT_COLS * jnp.dtype(feats_dtype).itemsize)
+    row_bytes = max_per_cell * (
+        GEOM_COLS * 4 + FEAT_COLS_DEG1 * jnp.dtype(feats_dtype).itemsize)
     for _ in range(4):
         idx, cnt = grid_bin_aniso(centers, exts_eff, priority, dims,
                                   lo=lo, hi=hi, max_per_cell=max_per_cell)
@@ -456,26 +464,29 @@ def _march_phase(accel: GridAccel, origins, dirs, settings, max_steps,
             excl = _ordered_weights(t_peak, alpha)
             w = carry["trans"][:, None] * excl * alpha  # (R, Kc)
             fk = jax.lax.optimization_barrier(
-                accel.feats[srow]).astype(jnp.float32)  # (R, 24*Kc)
+                accel.feats[srow]).astype(jnp.float32)  # (R, F*Kc)
+            fl = _feat_layout(accel.feats.shape[1] // kc)
 
             def fc(c):
                 return fk[:, c * kc:(c + 1) * kc]
 
-            ax, ay, az = fc(20), fc(21), fc(22)
+            ax, ay, az = (fc(fl["axis"]), fc(fl["axis"] + 1),
+                          fc(fl["axis"] + 2))
             sgn = jnp.where(ax * dx + ay * dy + az * dz > 0, -1.0, 1.0)
             acc = carry["acc"]
             upd = {}
             for ch, key in enumerate(("col_r", "col_g", "col_b")):
-                col = jnp.maximum(
-                    fc(0 + ch) + dy * fc(3 + ch) + dz * fc(6 + ch)
-                    + dx * fc(9 + ch) + 0.5, 0.0)
+                col = fc(fl["dc"] + ch) + 0.5
+                if fl["by"] is not None:
+                    col = (col + dy * fc(fl["by"] + ch)
+                           + dz * fc(fl["bz"] + ch)
+                           + dx * fc(fl["bx"] + ch))
+                col = jnp.maximum(col, 0.0)
                 upd[key] = jnp.sum(w * col, -1)
             for ch, key in enumerate(("emi_r", "emi_g", "emi_b")):
-                upd[key] = jnp.sum(w * fc(12 + ch), -1)
-            for col_i, key in ((_F_MET, "met"), (_F_ROUGH, "rough"),
-                               (_F_CC, "cc"), (_F_CCR, "ccr"),
-                               (_F_TRANS, "trn")):
-                upd[key] = jnp.sum(w * fc(col_i), -1)
+                upd[key] = jnp.sum(w * fc(fl["emi"] + ch), -1)
+            for name in ("met", "rough", "cc", "ccr", "trn"):
+                upd[name] = jnp.sum(w * fc(fl[name]), -1)
             upd["nx"] = jnp.sum(w * ax * sgn, -1)
             upd["ny"] = jnp.sum(w * ay * sgn, -1)
             upd["nz"] = jnp.sum(w * az * sgn, -1)
@@ -506,12 +517,18 @@ _COMPACT_MIN_RAYS = 32768
 
 def _march(accel: GridAccel, origins, dirs, settings: RenderSettings,
            max_steps: int, t_end=None, with_features: bool = True,
-           jump_steps: int = 2):
-    """Core grid march: returns (trans (R,), acc dict of (R,) or None)."""
+           jump_steps: int = 2, active=None):
+    """Core grid march: returns (trans (R,), acc dict of (R,) or None).
+
+    ``active`` (R,) bool optionally pre-kills rays (e.g. path-traced
+    lanes whose throughput already died): they skip every gather and,
+    after the first compaction, stop occupying batch slots at all."""
     r = origins.shape[0]
     setup = _ray_setup(origins, dirs, accel, settings.t_min)
+    alive0 = setup["inside"] if active is None \
+        else setup["inside"] & active
     carry = dict(t=setup["t_entry"], trans=jnp.ones((r,)),
-                 alive=setup["inside"], step=jnp.int32(0))
+                 alive=alive0, step=jnp.int32(0))
     if with_features:
         carry["acc"] = {k: jnp.zeros((r,)) for k in _ACC_KEYS}
 
@@ -558,7 +575,7 @@ def _march(accel: GridAccel, origins, dirs, settings: RenderSettings,
                                              "jump_steps"))
 def trace_grid(scene: GaussianScene, rays: Rays, settings: RenderSettings,
                accel: GridAccel, max_steps: int = 128,
-               jump_steps: int = 2):
+               jump_steps: int = 2, active=None):
     """Aggregate surface interaction via the grid (trace_dense-compatible).
 
     ``scene`` is accepted for interface parity with trace_dense but the
@@ -567,7 +584,7 @@ def trace_grid(scene: GaussianScene, rays: Rays, settings: RenderSettings,
     del scene
     trans, acc = _march(accel, rays.origins, rays.directions, settings,
                         max_steps, with_features=True,
-                        jump_steps=jump_steps)
+                        jump_steps=jump_steps, active=active)
     alpha_acc = 1.0 - trans
     denom = jnp.maximum(alpha_acc, 1e-8)
     depth = acc["tsum"] / denom
@@ -595,10 +612,13 @@ def trace_grid(scene: GaussianScene, rays: Rays, settings: RenderSettings,
                                              "jump_steps"))
 def visibility_grid(scene: GaussianScene, accel: GridAccel, origins,
                     directions, t_end, settings: RenderSettings,
-                    max_steps: int = 128, jump_steps: int = 2):
-    """Shadow-ray transmittance via the grid (visibility_dense analog)."""
+                    max_steps: int = 128, jump_steps: int = 2,
+                    active=None):
+    """Shadow-ray transmittance via the grid (visibility_dense analog).
+
+    Rays masked off by ``active`` return transmittance 1."""
     del scene
     trans, _ = _march(accel, origins, directions, settings, max_steps,
                       t_end=t_end, with_features=False,
-                      jump_steps=jump_steps)
+                      jump_steps=jump_steps, active=active)
     return trans

@@ -42,8 +42,24 @@ from pathtracer_gaussiansplatting_tpu.render import reference as ref
 from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_norm
 
 
+
+def _call_trace(trace_fn, scene, rays, settings, active):
+    """Pass the active-ray mask to backends that accept it (the grid
+    marcher pre-kills masked lanes and compacts them away)."""
+    try:
+        return trace_fn(scene, rays, settings, active=active)
+    except TypeError:
+        return trace_fn(scene, rays, settings)
+
+
+def _call_vis(visibility_fn, origins, dirs, t_end, active):
+    try:
+        return visibility_fn(origins, dirs, t_end, active=active)
+    except TypeError:
+        return visibility_fn(origins, dirs, t_end)
+
 def _nee(key, d, scene, tables, punctual, inter, view, settings,
-         visibility_fn, use_nee=None):
+         visibility_fn, use_nee=None, alive=None):
     """One next-event-estimation sample per ray. Returns (R, 3) radiance.
 
     ``use_nee`` (R,) bool gates the emissive-light strategy per ray —
@@ -81,8 +97,14 @@ def _nee(key, d, scene, tables, punctual, inter, view, settings,
     mis = lights_mod.power2_mis(pdf_nee, pdf_b)
     brdf = bsdf_mod.eval_bsdf(n, view, l_dir, albedo, metallic, rough)
     eps = settings.shadow_eps
-    vis = visibility_fn(pos + n * eps, l_dir, dist - 2 * eps)
     ok = (n_dot_l > 1e-3) & (cos_light > 1e-3) & (pdf_nee > 1e-10)
+    active_e = ok & take_emissive & (tables.emissive_flux > 0)
+    if alive is not None:
+        active_e = active_e & alive
+    if use_nee is not None:
+        active_e = active_e & use_nee
+    vis = _call_vis(visibility_fn, pos + n * eps, l_dir,
+                    dist - 2 * eps, active_e)
     e_contrib = brdf * em["emission"] / jnp.maximum(pdf_nee, 1e-10)[:, None]
     e_contrib = e_contrib * (mis * vis)[:, None] * ambient_w
     e_contrib = jnp.where(ok[:, None], e_contrib, 0.0)
@@ -98,8 +120,11 @@ def _nee(key, d, scene, tables, punctual, inter, view, settings,
         n_dot_lp = jnp.sum(n * pl["direction"], -1)
         brdf_p = bsdf_mod.eval_bsdf(n, view, pl["direction"], albedo,
                                     metallic, rough)
-        vis_p = visibility_fn(pos + n * eps, pl["direction"],
-                              pl["dist"] - 2 * eps)
+        active_p = (n_dot_lp > 1e-3) & ~take_emissive
+        if alive is not None:
+            active_p = active_p & alive
+        vis_p = _call_vis(visibility_fn, pos + n * eps, pl["direction"],
+                          pl["dist"] - 2 * eps, active_p)
         p_contrib = brdf_p * pl["radiance"] * (vis_p * pl["inv_prob"])[:, None]
         p_contrib = p_contrib * jnp.clip(
             1.0 - inter["transmission"], 0.0, 1.0)[:, None]
@@ -154,7 +179,8 @@ def pathtrace(scene: GaussianScene, rays: Rays,
         if d == 0 and primary_interaction is not None:
             inter = primary_interaction
         else:
-            inter = trace_fn(scene, Rays(origins, dirs), settings)
+            inter = _call_trace(trace_fn, scene, Rays(origins, dirs),
+                                settings, None if d == 0 else alive)
         alpha = inter["alpha_acc"]
         trans = inter["trans"]
 
@@ -192,7 +218,8 @@ def pathtrace(scene: GaussianScene, rays: Rays,
         view = -dirs
         if settings.nee:
             nee_li = _nee(dkey, d, scene, tables, punctual, inter, view,
-                          settings, visibility_fn, use_nee=use_nee_hit)
+                          settings, visibility_fn, use_nee=use_nee_hit,
+                          alive=alive)
             radiance += jnp.where(alive[:, None],
                                   throughput * alpha[:, None] * nee_li, 0.0)
 

@@ -19,6 +19,7 @@ import functools
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from pathtracer_gaussiansplatting_tpu.core.types import GaussianScene, RenderSettings
 from pathtracer_gaussiansplatting_tpu.render import reference as ref
@@ -26,27 +27,30 @@ from pathtracer_gaussiansplatting_tpu.render import reference as ref
 AUTO_DENSE_LIMIT = 50_000
 
 
-def _dense_vis(settings, scene, o, d, t):
-    return ref.visibility_dense(scene, o, d, t, settings)
+def _dense_vis(settings, scene, o, d, t, active=None):
+    vis = ref.visibility_dense(scene, o, d, t, settings)
+    return vis if active is None else jnp.where(active, vis, 1.0)
 
 
-def _grid_trace(max_steps, accel, scene, rays, settings):
+def _grid_trace(max_steps, accel, scene, rays, settings, active=None):
     from pathtracer_gaussiansplatting_tpu.render.grid_trace import trace_grid
 
     return trace_grid(scene, rays, settings, accel=accel,
-                      max_steps=max_steps)
+                      max_steps=max_steps, active=active)
 
 
-def _grid_vis(max_steps, settings, accel, scene, o, d, t):
+def _grid_vis(max_steps, settings, accel, scene, o, d, t, active=None):
     from pathtracer_gaussiansplatting_tpu.render.grid_trace import (
         visibility_grid,
     )
 
     return visibility_grid(scene, accel, o, d, t, settings,
-                           max_steps=max_steps)
+                           max_steps=max_steps, active=active)
 
 
-def _spatial_trace(mesh, scene_slabbed, _scene, rays, settings):
+def _spatial_trace(mesh, scene_slabbed, _scene, rays, settings,
+                   active=None):
+    del active  # slab compositor is dense per slab; masking gains nothing
     from pathtracer_gaussiansplatting_tpu.parallel.spatial import (
         trace_spatial,
     )
@@ -54,7 +58,8 @@ def _spatial_trace(mesh, scene_slabbed, _scene, rays, settings):
     return trace_spatial(scene_slabbed, rays, settings, mesh)
 
 
-def _spatial_vis(mesh, settings, scene_slabbed, o, d, t):
+def _spatial_vis(mesh, settings, scene_slabbed, o, d, t, active=None):
+    del active
     from pathtracer_gaussiansplatting_tpu.parallel.spatial import (
         visibility_spatial,
     )

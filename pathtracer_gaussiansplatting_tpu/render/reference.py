@@ -89,7 +89,8 @@ def _gather_features(scene: GaussianScene, rays: Rays, idx, t, settings):
 
 
 def trace_dense(scene: GaussianScene, rays: Rays,
-                settings: RenderSettings, sort_depths=None) -> Dict[str, Any]:
+                settings: RenderSettings, sort_depths=None,
+                active=None) -> Dict[str, Any]:
     """Trace rays against the whole scene; composite a surface interaction.
 
     The composited aggregate plays the role of the reference's closest-hit
@@ -102,6 +103,8 @@ def trace_dense(scene: GaussianScene, rays: Rays,
       alpha_acc, trans, hit (bool).
     """
     idx, t, alpha = dense_topk(scene, rays, settings, sort_depths)
+    if active is not None:
+        alpha = jnp.where(active[:, None], alpha, 0.0)
     feats = _gather_features(scene, rays, idx, t, settings)
     weights, trans = composite_weights(alpha)             # (R,K), (R,)
     alpha_acc = 1.0 - trans
