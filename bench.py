@@ -104,6 +104,68 @@ def main():
     dt_fb = (time.perf_counter() - t0) / fb_iters
     rays_fb = rays_per_frame / dt_fb
 
+    # --- multi-bounce path tracing (BASELINE config #4: 500k-Gaussian
+    #     surface scene, 1080p, 4 bounces, grid bounce backend) ---
+    from pathtracer_gaussiansplatting_tpu.models.scene import surface_scene
+    from pathtracer_gaussiansplatting_tpu.render.lights import (
+        build_light_tables,
+    )
+    from pathtracer_gaussiansplatting_tpu.render.pathtrace import (
+        pathtrace_camera,
+    )
+    from pathtracer_gaussiansplatting_tpu.render.pipeline import (
+        make_trace_backend,
+    )
+
+    pt_n = int(os.environ.get("GSPT_BENCH_PT_N", 500_000))
+    pt_w = int(os.environ.get("GSPT_BENCH_PT_W", 1920))
+    pt_h = int(os.environ.get("GSPT_BENCH_PT_H", 1080))
+    pt_depth = int(os.environ.get("GSPT_BENCH_PT_DEPTH", 4))
+    pt_scene = surface_scene(pt_n, seed=13)
+    pt_cam = Camera(c2w=look_at((0.0, 0.2, 1.7), (0.0, -0.4, -0.5)),
+                    fov_y_deg=60.0, width=pt_w, height=pt_h)
+    pt_settings = RenderSettings(max_depth=pt_depth,
+                                 ambient=(0.05, 0.05, 0.06, 1.0))
+    pt_trace, pt_vis = make_trace_backend(pt_scene, pt_settings, "grid")
+    pt_tables = build_light_tables(pt_scene)
+    pt_cfg = BinningConfig()
+    pt_pk = prepare_tiles(pt_scene, pt_cam, pt_settings, pt_cfg)
+    fence(pt_pk)
+    pt_fn = jax.jit(lambda s, p, tb, tf, vf, key: pathtrace_camera(
+        s, pt_cam, pt_settings, key, packets=p, tables=tb, trace_fn=tf,
+        visibility_fn=vf, config=pt_cfg))
+    key = jax.random.key(13)
+    fence(pt_fn(pt_scene, pt_pk, pt_tables, pt_trace, pt_vis, key))
+    t0 = time.perf_counter()
+    pt_iters = max(1, iters // 5)
+    for i in range(pt_iters):
+        img_pt = pt_fn(pt_scene, pt_pk, pt_tables, pt_trace, pt_vis,
+                       jax.random.fold_in(key, i))
+    fence(img_pt)
+    dt_pt = (time.perf_counter() - t0) / pt_iters
+    # camera rays that completed the full bounce chain per second
+    pathtraced_rays_per_s = pt_w * pt_h / dt_pt
+
+    # --- roofline: achieved FLOP/s + HBM traffic of the tile forward ---
+    # Work is known exactly from the binned pairs: sum(count) gaussians
+    # per tile x 256 pixels each; ~85 f32 VPU flops per (pixel, gaussian)
+    # pair (quadratic 18, peak+response 13, alpha 4, product-scan 7,
+    # weights 2, feature matmul 2F=28 on the MXU at HIGHEST, depth 2) and
+    # one exp. Bytes: per-tile streams the kernel actually moves.
+    pairs = float(jnp.sum(pk["count"])) * cfg.tile_size ** 2
+    flops = pairs * 85.0
+    t_tiles = pk["count"].shape[0]
+    kk = pk["geom"].shape[-1]
+    bytes_moved = t_tiles * 4.0 * (16 * kk + 14 * kk
+                                   + cfg.tile_size ** 2 * (3 + 16))
+    # v5e peak: 197 TFLOP/s bf16 MXU; this kernel is deliberately f32 VPU
+    # for the quadratics (see kernels/tile_composite.py), so MFU vs the
+    # bf16 peak understates VPU utilization — report both axes.
+    peak_flops, peak_bw = 197e12, 819e9
+    achieved_flops = flops / dt_samp
+    hbm_gbps = bytes_moved / dt_samp / 1e9
+    mfu = achieved_flops / peak_flops
+
     # --- naive dense baseline, measured at feasible N and scaled (O(N)) ---
     n_base = min(n, 50_000)
     base_scene = jax.tree.map(lambda x: x[:n_base], scene)
@@ -132,6 +194,13 @@ def main():
         "fwd_bwd_rays_per_s": round(rays_fb),
         "binning_ms_per_pose": round(dt_prep * 1e3, 1),
         "sample_ms": round(dt_samp * 1e3, 2),
+        "pathtraced_rays_per_s": round(pathtraced_rays_per_s),
+        "pathtrace_sample_ms": round(dt_pt * 1e3, 1),
+        "pathtrace_config": f"{pt_n} gaussians, {pt_w}x{pt_h}, "
+                            f"depth {pt_depth}, grid backend",
+        "mfu": round(mfu, 4),
+        "achieved_tflops": round(achieved_flops / 1e12, 2),
+        "hbm_gbps": round(hbm_gbps, 1),
         "dense_baseline_rays_per_s_scaled": round(rays_dense_at_n),
         "device": str(dev),
     }

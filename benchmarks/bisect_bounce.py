@@ -167,6 +167,73 @@ def main():
         timed("combo", lambda: f(scene, pk, trace_fn))
         return
 
+    if stage in ("ptprim", "ptprim_notile"):
+        # pathtrace with a PRECOMPUTED primary interaction (the full
+        # pipeline minus lax.map and minus the final untile).
+        from pathtracer_gaussiansplatting_tpu.render.pathtrace import (
+            interaction_from_tile_arrays,
+        )
+        pk = prepare_tiles(scene, cam, settings, cfg)
+        fence(pk)
+        print("prep done", flush=True)
+
+        use_pallas = stage == "ptprim"
+
+        def run(s, p, tb, tf, vf, k):
+            out = render_prepared(
+                p, cam, settings, cfg,
+                outputs=("tile_feats", "tile_alpha", "tile_depth",
+                         "tile_dirs"))
+            t, pp, _ = out["tile_dirs"].shape
+            dd = out["tile_dirs"].reshape(t * pp, 3)[:chunk]
+            oo = jnp.broadcast_to(cam.c2w[:3, 3][None], (chunk, 3))
+            prim = interaction_from_tile_arrays(
+                out, jnp.broadcast_to(cam.c2w[:3, 3][None], (t * pp, 3)),
+                out["tile_dirs"].reshape(t * pp, 3), settings)
+            prim = {kk: v[:chunk] for kk, v in prim.items()}
+            if not use_pallas:
+                prim = jax.tree.map(jax.lax.stop_gradient, prim)
+            return pathtrace(s, Rays(oo, dd), settings, k, tables=tb,
+                             trace_fn=tf, visibility_fn=vf,
+                             primary_interaction=prim)
+
+        f = jax.jit(run)
+        timed(stage, lambda: f(scene, pk, tables, trace_fn, vis_fn, key),
+              iters=1)
+        return
+
+    if stage == "pt_untile":
+        # ptprim + the final untile transpose (the full path minus lax.map)
+        from pathtracer_gaussiansplatting_tpu.render.pathtrace import (
+            interaction_from_tile_arrays,
+        )
+        from pathtracer_gaussiansplatting_tpu.render.tiled import (
+            untile_image,
+        )
+        pk = prepare_tiles(scene, cam, settings, cfg)
+        fence(pk)
+        print("prep done", flush=True)
+
+        def run(s, p, tb, tf, vf, k):
+            out = render_prepared(
+                p, cam, settings, cfg,
+                outputs=("tile_feats", "tile_alpha", "tile_depth",
+                         "tile_dirs"))
+            t, pp, _ = out["tile_dirs"].shape
+            dd = out["tile_dirs"].reshape(t * pp, 3)
+            oo = jnp.broadcast_to(cam.c2w[:3, 3][None], (t * pp, 3))
+            prim = interaction_from_tile_arrays(out, oo, dd, settings)
+            rad = pathtrace(s, Rays(oo, dd), settings, k, tables=tb,
+                            trace_fn=tf, visibility_fn=vf,
+                            primary_interaction=prim)
+            img = untile_image(rad.reshape(t, pp, 3), cam, cfg)
+            return img.reshape(-1, 3)
+
+        f = jax.jit(run)
+        timed(stage, lambda: f(scene, pk, tables, trace_fn, vis_fn, key),
+              iters=1)
+        return
+
     if stage == "full":
         pk = prepare_tiles(scene, cam, settings, cfg)
         fence(pk)

@@ -1,0 +1,99 @@
+"""Per-chip cost of the spatial-ring slab compositor (VERDICT r2 #5).
+
+Real multi-chip hardware isn't reachable from this host (one v5e via the
+axon tunnel), so this measures the two quantities that determine ring
+scaling and records them for BASELINE.md:
+
+  * slab compute: _slab_interaction_feats on ONE device for a slab of
+    N/S Gaussians x an R-ray chunk (the per-step body of
+    parallel/spatial._ring_composite) — measured on the real chip;
+  * carry traffic: bytes/ray/step the ppermute ring moves (rays 6 +
+    chunk id 1 + 4 x (feat_dim + 1) accumulator floats), modeled against
+    v5e ICI (~186 GB/s/link usable, 45 GB/s/direction x 4 links NoC) —
+    comm per step = R_chunk x carry_bytes.
+
+Projected scaling efficiency = t_compute / (t_compute + max(0, t_comm -
+overlap)); the ring overlaps ppermute with the next slab's compute, so
+the projection reports both overlapped and unoverlapped bounds.
+
+Run:  python benchmarks/spatial_chip.py
+Env:  GSPT_SPATIAL_N (2_000_000), GSPT_SPATIAL_SLABS (8),
+      GSPT_SPATIAL_RAYS (4096 per-chip chunk)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracer_gaussiansplatting_tpu.core.types import (
+        Rays, RenderSettings,
+    )
+    from pathtracer_gaussiansplatting_tpu.models.scene import surface_scene
+    from pathtracer_gaussiansplatting_tpu.parallel.spatial import (
+        _slab_interaction_feats, partition_slabs,
+    )
+
+    n = int(os.environ.get("GSPT_SPATIAL_N", 2_000_000))
+    s = int(os.environ.get("GSPT_SPATIAL_SLABS", 8))
+    r = int(os.environ.get("GSPT_SPATIAL_RAYS", 4096))
+
+    scene = surface_scene(n, seed=13)
+    slabbed, axis = partition_slabs(scene, s)
+    nb = slabbed.num_gaussians // s
+    block = jax.tree.map(lambda x: x[:nb], slabbed)   # device-0 slab
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-1.2, 1.2, (r, 3)).astype(np.float32))
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    settings = RenderSettings()
+    axis_v = jnp.asarray(axis)
+
+    f = jax.jit(lambda b, oo, dd: _slab_interaction_feats(
+        b, oo, dd, axis_v, settings))
+
+    def fence(out):
+        return float(sum(jnp.sum(x) for x in jax.tree.leaves(out)))
+
+    fence(f(block, o, d))
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        out = f(block, o, d)
+    fence(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    feat_dim = 15
+    carry_bytes = 4 * (6 + 1 + 4 * (feat_dim + 1))     # per ray per step
+    comm_bytes_step = r * carry_bytes
+    ici_bw = 45e9                                       # v5e per-direction
+    t_comm = comm_bytes_step / ici_bw
+    eff_overlap = dt / max(dt, t_comm)
+    eff_serial = dt / (dt + t_comm)
+    result = dict(
+        metric="spatial-ring per-chip slab step",
+        slab_gaussians=nb, rays_per_chip=r, n_slabs=s,
+        slab_compute_ms=round(dt * 1e3, 2),
+        pairs_per_step=r * nb,
+        carry_bytes_per_ray_step=carry_bytes,
+        comm_bytes_per_step=comm_bytes_step,
+        comm_ms_at_45GBps=round(t_comm * 1e3, 4),
+        projected_scaling_eff_overlapped=round(eff_overlap, 4),
+        projected_scaling_eff_serial=round(eff_serial, 4),
+        spatial_rays_per_s=round(r / (s * max(dt, t_comm))),
+        device=str(jax.devices()[0]),
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -513,11 +513,15 @@ def _march_phase(accel: GridAccel, origins, dirs, settings, max_steps,
 # full-size iterations.
 _COMPACT_PHASES = ((16, 1.0), (24, 0.25), (88, 0.0625))
 _COMPACT_MIN_RAYS = 32768
+# Peak-memory bound for any single while_loop: sub-batches above this are
+# marched sequentially (python-unrolled inside the jit, NOT lax.map —
+# see _march.phase_chunked).
+_PHASE_MAX_RAYS = 524288
 
 
 def _march(accel: GridAccel, origins, dirs, settings: RenderSettings,
            max_steps: int, t_end=None, with_features: bool = True,
-           jump_steps: int = 2, active=None):
+           jump_steps: int = 1, active=None):
     """Core grid march: returns (trans (R,), acc dict of (R,) or None).
 
     ``active`` (R,) bool optionally pre-kills rays (e.g. path-traced
@@ -537,6 +541,31 @@ def _march(accel: GridAccel, origins, dirs, settings: RenderSettings,
                              t_end, with_features, jump_steps, carry)
         return carry["trans"], carry.get("acc")
 
+    def phase_chunked(carry, steps):
+        """Full-batch phase, split into python-unrolled sub-batches that
+        bound peak gather memory. NOT lax.map: a scanned
+        (while_loop + big-gather) body reproducibly crashes the v5e
+        worker (VERDICT r2 #1 — the round-2 chunked bounce path died
+        exactly there); a short static unroll of independent while_loops
+        compiles and runs fine."""
+        if r <= _PHASE_MAX_RAYS:
+            return _march_phase(accel, origins, dirs, settings, steps,
+                                t_end, with_features, jump_steps, carry)
+        n_sub = -(-r // _PHASE_MAX_RAYS)
+        bound = -(-r // n_sub)
+        outs = []
+        for s in range(0, r, bound):
+            e = min(s + bound, r)
+            sub = jax.tree.map(lambda x: x[s:e] if getattr(x, "ndim", 0)
+                               else x, carry)
+            outs.append(_march_phase(
+                accel, origins[s:e], dirs[s:e], settings, steps,
+                None if t_end is None else t_end[s:e],
+                with_features, jump_steps, sub))
+        return jax.tree.map(
+            lambda *xs: (xs[0] if getattr(xs[0], "ndim", 0) == 0
+                         else jnp.concatenate(xs)), *outs)
+
     budget = max_steps
     for i, (steps, frac) in enumerate(_COMPACT_PHASES):
         steps = min(steps, budget) if i + 1 < len(_COMPACT_PHASES) \
@@ -545,10 +574,10 @@ def _march(accel: GridAccel, origins, dirs, settings: RenderSettings,
             break
         budget -= steps
         if frac >= 1.0:
-            carry = _march_phase(accel, origins, dirs, settings, steps,
-                                 t_end, with_features, jump_steps, carry)
+            carry = phase_chunked(carry, steps)
             continue
         rsub = -(-max(int(r * frac), 4096) // 256) * 256
+        rsub = min(rsub, _PHASE_MAX_RAYS)
         if rsub >= r:
             carry = _march_phase(accel, origins, dirs, settings, steps,
                                  t_end, with_features, jump_steps, carry)
@@ -575,7 +604,7 @@ def _march(accel: GridAccel, origins, dirs, settings: RenderSettings,
                                              "jump_steps"))
 def trace_grid(scene: GaussianScene, rays: Rays, settings: RenderSettings,
                accel: GridAccel, max_steps: int = 128,
-               jump_steps: int = 2, active=None):
+               jump_steps: int = 1, active=None):
     """Aggregate surface interaction via the grid (trace_dense-compatible).
 
     ``scene`` is accepted for interface parity with trace_dense but the
@@ -612,7 +641,7 @@ def trace_grid(scene: GaussianScene, rays: Rays, settings: RenderSettings,
                                              "jump_steps"))
 def visibility_grid(scene: GaussianScene, accel: GridAccel, origins,
                     directions, t_end, settings: RenderSettings,
-                    max_steps: int = 128, jump_steps: int = 2,
+                    max_steps: int = 128, jump_steps: int = 1,
                     active=None):
     """Shadow-ray transmittance via the grid (visibility_dense analog).
 

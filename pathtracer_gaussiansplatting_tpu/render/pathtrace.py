@@ -355,20 +355,23 @@ def interaction_from_tile_arrays(out, origins, dirs, settings):
 def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
                      key, packets=None, tables=None, punctual=None,
                      trace_fn=None, visibility_fn=None,
-                     config=None, jitter=None, chunk: int = 16384):
+                     config=None, jitter=None, chunk=None):
     """Production path tracing for a camera pose: fused tile pipeline for the
     primary hit (binning amortized via ``packets`` from prepare_tiles),
     grid/dense backend for bounces and shadows.
 
     The primary stage stays in tile-major order end-to-end (no 14-channel
     image transpose); only the final radiance is untiled back to row-major.
-    The bounce continuation runs as an ON-DEVICE lax.map over fixed-size
-    ray chunks (the grid DDA gathers (R, Kc, 3, 3) canonical transforms
-    per step — unbounded R blows HBM at 4K images; a 64k-ray chunk was
-    observed to fault the v5e worker, hence the 16k default). The whole
-    function is jit-traceable, so callers can fori_loop it over spp.
-    Returns (H*W, 3) radiance.
+    The bounce continuation marches ALL pixels as one batch: the grid
+    marcher bounds its own peak memory by phase-splitting internally
+    (grid_trace._PHASE_MAX_RAYS) and compacts surviving rays globally.
+    (A lax.map over fixed-size chunks — the round-2 structure —
+    reproducibly crashed the v5e worker: scan-of-(while_loop + large
+    gather) is the trigger, so ``chunk`` is accepted for API
+    compatibility but ignored.) The whole function is jit-traceable, so
+    callers can fori_loop it over spp. Returns (H*W, 3) radiance.
     """
+    del chunk
     from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
     from pathtracer_gaussiansplatting_tpu.render.tiled import (
         prepare_tiles, render_prepared, untile_image,
@@ -385,38 +388,12 @@ def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
     origins = jnp.broadcast_to(camera.c2w[:3, 3][None], (t * p, 3))
     rays = Rays(origins, dirs)
     primary = interaction_from_tile_arrays(out, origins, dirs, settings)
-    n = t * p
-
-    def finish(radiance_tm):
-        img = untile_image(radiance_tm.reshape(t, p, 3), camera, config)
-        return img.reshape(-1, 3)
-
-    if n <= chunk:
-        return finish(pathtrace(scene, rays, settings, key, tables=tables,
-                                punctual=punctual, trace_fn=trace_fn,
-                                visibility_fn=visibility_fn,
-                                primary_interaction=primary))
-    n_chunks = -(-n // chunk)
-    pad = n_chunks * chunk - n
-
-    def shard(x):
-        if pad:
-            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-        return x.reshape((n_chunks, chunk) + x.shape[1:])
-
-    xs = (jnp.arange(n_chunks), shard(rays.origins), shard(rays.directions),
-          {k: shard(v) for k, v in primary.items()})
-
-    def chunk_fn(args):
-        idx, o, d, prim = args
-        return pathtrace(scene, Rays(o, d), settings,
-                         jax.random.fold_in(key, idx),
-                         tables=tables, punctual=punctual,
-                         trace_fn=trace_fn, visibility_fn=visibility_fn,
-                         primary_interaction=prim)
-
-    parts = jax.lax.map(chunk_fn, xs)
-    return finish(parts.reshape(n_chunks * chunk, 3)[:n])
+    radiance = pathtrace(scene, rays, settings, key, tables=tables,
+                         punctual=punctual, trace_fn=trace_fn,
+                         visibility_fn=visibility_fn,
+                         primary_interaction=primary)
+    img = untile_image(radiance.reshape(t, p, 3), camera, config)
+    return img.reshape(-1, 3)
 
 
 def accumulate(prev, cur, frame):
