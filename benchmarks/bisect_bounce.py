@@ -3,13 +3,19 @@
 Each stage isolates one component of pathtrace_camera on the real TPU.
 Run:  python benchmarks/bisect_bounce.py <stage>
 Stages:
-  primary    - Pallas tile primary alone at WxH (default 1920x1080)
-  grid_build - build_grid_accel host-side at N Gaussians
-  grid_topk  - grid_topk on a flat CHUNK-ray batch
-  grid_vis   - visibility_grid on a flat CHUNK-ray batch
-  pt_flat    - pathtrace (grid backend) on a flat CHUNK-ray batch
-  pt_map     - lax.map over 4 CHUNK-ray chunks of pathtrace
-  full       - pathtrace_camera end to end
+  primary      - Pallas tile primary alone at WxH (default 1920x1080)
+  grid_build   - build_grid_accel host-side at N Gaussians
+  trace        - one trace_grid aggregate trace on a CHUNK-ray batch
+  trace2       - two chained traces (bounce continuation shape)
+  grid_vis     - visibility_grid on a flat CHUNK-ray batch
+  pt_flat      - pathtrace (grid backend) on a flat CHUNK-ray batch
+  pt_nonee     - pathtrace with NEE disabled (isolates shadow marches)
+  pt_map       - lax.map over 4 CHUNK-ray chunks of pathtrace
+  combo        - Pallas primary + one grid march in ONE jit
+  ptprim       - pathtrace with precomputed tile primary (no untile)
+  ptprim_notile- same, primary detached via stop_gradient
+  pt_untile    - ptprim + the final untile transpose
+  full         - pathtrace_camera end to end
 """
 import os
 import sys
@@ -21,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     stage = sys.argv[1]
+    known = ("primary", "grid_build", "trace", "trace2", "grid_vis",
+             "pt_flat", "pt_nonee", "pt_map", "combo", "ptprim",
+             "ptprim_notile", "pt_untile", "full")
+    if stage not in known:
+        raise SystemExit(f"unknown stage {stage!r}; choose from {known}")
     import jax
     import jax.numpy as jnp
 

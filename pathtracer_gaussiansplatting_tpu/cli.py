@@ -49,14 +49,28 @@ def cmd_render(args):
     )
     from pathtracer_gaussiansplatting_tpu.data.images import save_png
 
+    from pathtracer_gaussiansplatting_tpu.data.capture import (
+        make_tiled_pose_renderer, resolve_backend,
+    )
+
     cfg, scene, punctual, settings = _load(args)
-    render_fn = make_accumulating_renderer(scene, settings, punctual,
-                                           spp=args.spp)
+    backend = resolve_backend(args.backend or cfg.backend,
+                              scene.num_gaussians)
     c2w = toroidal_c2w(args.alpha, args.beta, cfg.torus.major_radius,
                        cfg.torus.height)
-    img = render_pose(render_fn, c2w, args.width or cfg.width,
-                      args.height or cfg.height, cfg.fov_y_deg,
-                      chunk=args.chunk)
+    if backend.startswith("tiled"):
+        bounce = backend.split("+", 1)[1] if "+" in backend else "auto"
+        pose_render = make_tiled_pose_renderer(
+            scene, settings, punctual, args.spp, bounce_backend=bounce)
+        img = pose_render(c2w, args.width or cfg.width,
+                          args.height or cfg.height, cfg.fov_y_deg)
+    else:
+        render_fn = make_accumulating_renderer(scene, settings, punctual,
+                                               spp=args.spp,
+                                               backend=backend)
+        img = render_pose(render_fn, c2w, args.width or cfg.width,
+                          args.height or cfg.height, cfg.fov_y_deg,
+                          chunk=args.chunk)
     save_png(args.output, np.clip(img, 0.0, 1.0))
     print(f"wrote {args.output} ({img.shape[1]}x{img.shape[0]}, "
           f"{args.spp} spp)")
@@ -78,7 +92,8 @@ def cmd_capture(args):
         capture_images=cap.capture_images,
         capture_pointcloud=cap.capture_pointcloud,
         sampling_method=cfg.sampling_method,
-        num_rays=args.num_rays, chunk=args.chunk)
+        num_rays=args.num_rays, chunk=args.chunk,
+        backend=args.backend or cfg.backend)
     print(json.dumps(dict(points=out["num_points"],
                           train=len(out["train_frames"]),
                           test=len(out["test_frames"]))))
@@ -93,7 +108,8 @@ def cmd_panorama(args):
                      accumulation_steps=args.spp,
                      width=args.width or cfg.width,
                      height=args.height or cfg.height,
-                     fov_y_deg=cfg.fov_y_deg, chunk=args.chunk)
+                     fov_y_deg=cfg.fov_y_deg, chunk=args.chunk,
+                     backend=args.backend or cfg.backend)
 
 
 def cmd_fit(args):
@@ -226,6 +242,11 @@ def main(argv=None):
         sp.add_argument("--max-depth", type=int, default=0)
         sp.add_argument("--max-contribs", type=int, default=64)
         sp.add_argument("--chunk", type=int, default=65536)
+        sp.add_argument(
+            "--backend", default=None,
+            choices=("auto", "dense", "grid", "tiled+grid", "tiled+dense"),
+            help="traversal backend (default: scene config value, then "
+                 "'auto' = tiled+grid above the dense-scene threshold)")
 
     sp = sub.add_parser("render", help="render one frame")
     common(sp, "render.png")

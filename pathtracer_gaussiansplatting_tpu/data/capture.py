@@ -46,6 +46,23 @@ from pathtracer_gaussiansplatting_tpu.sampling.strategies import (
 CAPTURE_SEED = 13  # engine.cpp:2673 mt19937(13)
 
 
+def resolve_backend(backend: str, num_gaussians: int) -> str:
+    """Resolve 'auto' to the production backend for the scene size.
+
+    Above pipeline.AUTO_DENSE_LIMIT the fused Pallas tile primary +
+    grid bounce marcher ('tiled+grid') is the production capture path
+    (the reference's single path is always the RT pipeline,
+    engine.cpp:2035); small scenes use the exact dense oracle.
+    """
+    if backend != "auto":
+        return backend
+    from pathtracer_gaussiansplatting_tpu.render.pipeline import (
+        AUTO_DENSE_LIMIT,
+    )
+
+    return "tiled+grid" if num_gaussians > AUTO_DENSE_LIMIT else "dense"
+
+
 def make_accumulating_renderer(scene, settings: RenderSettings, punctual,
                                spp: int, key=None, backend: str = "auto",
                                **backend_kw):
@@ -211,6 +228,9 @@ def capture_scene_data(scene, out_dir: str,
     cap_rng = np.random.RandomState(CAPTURE_SEED)
     # 'tiled' uses the fused tile pipeline for camera rays (production path
     # at large N); anything else path-traces flat ray chunks end-to-end.
+    backend = resolve_backend(backend, scene.num_gaussians)
+    if progress:
+        progress(f"capture backend: {backend}")
     tiled_images = backend.startswith("tiled")
     bounce_backend = backend.split("+", 1)[1] if "+" in backend else "auto"
     if tiled_images:
@@ -357,12 +377,16 @@ def capture_panorama(scene, out_dir: str, settings: RenderSettings,
                      steps: int = 360, accumulation_steps: int = 64,
                      width: int = 800, height: int = 800,
                      fov_y_deg: float = 45.0, chunk: int = 65536,
+                     backend: str = "auto",
                      progress: Optional[Callable[[str], None]] = print):
     """360-degree toroidal sweep at fixed beta (capturePanorama,
     engine.cpp:2898-3044): one accumulated frame per degree-step, saved as
     dataset/panorama/pano_i.jpg."""
+    backend = resolve_backend(backend, scene.num_gaussians)
+    flat_backend = backend.split("+", 1)[1] if "+" in backend else backend
     render_fn = make_accumulating_renderer(scene, settings, punctual,
-                                           accumulation_steps)
+                                           accumulation_steps,
+                                           backend=flat_backend)
     pano_dir = os.path.join(out_dir, "panorama")
     os.makedirs(pano_dir, exist_ok=True)
     for i in range(steps):

@@ -16,11 +16,16 @@ MASK/BLEND gating surfel opacity, and optional surfel-footprint mip
 selection (the ray-cone LOD analog, closesthit.rchit:21-37, 364-439;
 alpha.rahit:14-62). See data/textures.py.
 
-Scope notes (documented divergences):
-  * skinning/animation is not applied (reference bakes animation frame 0,
-    gameobject.cpp:64-159);
-  * specular-glossiness / clearcoat / transmission extensions reduce to the
-    metallic-roughness lobe parameters at bake time.
+Scope notes:
+  * skinning and animation frame 0 ARE applied like the reference
+    (gameobject.cpp:64-159): node TRS animation channels are sampled at
+    t=0 (:func:`_animation_frame0`) and LBS joint/weight skinning bakes
+    vertices before surfelization (:func:`_skin_vertices`);
+  * specular-glossiness converts to metallic-roughness at bake time;
+    clearcoat (strength/roughness) and transmission are carried as
+    per-surfel scene fields (GaussianScene.clearcoat/clearcoat_roughness/
+    transmission) and drive the dedicated BSDF lobes (ops/bsdf.py), not a
+    reduction to the base lobe.
 
 No external glTF dependency: the format is JSON + raw buffers.
 """

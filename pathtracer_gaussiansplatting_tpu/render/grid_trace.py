@@ -1,41 +1,57 @@
-"""Uniform-grid ray marching: scalable secondary rays & shadows (v2).
+"""Uniform-grid ray marching: scalable secondary rays & shadows (v3).
 
 The reference's secondary rays ride the same hardware BVH as primary rays
 (traceRayEXT from closesthit, max depth 12; engine.cpp:534-655 builds the
 BLAS). On TPU the tile pipeline only covers camera-coherent primary rays,
 so bounce/shadow rays march a world-space uniform grid (built once per
-scene by the native csrc grid_bin — the BLAS-build analog) with a
-branch-free 3D-DDA inside jit.
+scene by the native csrc grid_bin — the BLAS-build analog).
 
-v2 design notes (what changed from the round-2 marcher and why):
+v3 design notes (what changed from the round-3 marcher and why; every
+number below was measured on the v5e chip, benchmarks/profile_march*.py):
 
-  * INCREMENTAL SLAB COMPOSITING, NO TOP-K. The round-2 marcher merged
-    every cell's candidates into a per-ray top-K with a (R, 2K)
-    ``lax.top_k`` (a full sort) per DDA step — ~15 ms/step at R=16k, and
-    it faulted the TPU worker outright at R>=128k (VERDICT r2 #1). Cells
-    are visited front-to-back and each Gaussian's peak lies in exactly
-    one [t_entry, t_exit) slab, so the composite can be accumulated
-    *during* the march: carry (transmittance, weighted-feature sums) per
-    ray and fold each cell in as it is crossed. Within a cell, exact
-    front-to-back ordering is recovered with an O(Kc^2) pairwise mask
-    (Kc <= 16) — branch-free VPU work, no sort anywhere.
-  * ONE PACKET GATHER PER OCCUPIED CELL. Geometry (C, Kc, 16) and
-    features (C, Kc, 24) ride pre-packed tables; features carry SH
-    baked to degree <= 1 in factored linear form, so view-dependent
-    color is evaluated per (ray, Gaussian) with 3 FMAs. Scenes with
-    degree > 1 are truncated to degree 1 on the bounce path (the tile
-    primary keeps full degree).
-  * EMPTY-CELL SKIPPING. A (C,) occupancy mask is gathered (4 bytes/ray)
-    in a cheap inner loop that advances rays across up to
-    ``skip_empty`` empty cells per heavy step — surface scenes are
-    mostly empty space, and packet gathers are the dominant cost.
-  * AUTO-FITTED GRID. Round 2 used fixed dims=(64,64,64) and a fixed
-    radius clamp, which mis-fit the flagship scene (88% of radii
-    clamped, VERDICT r2 weak #2). ``fit_grid`` now sizes the cells from
-    the scene's own radius distribution and the radius clamp from a
-    percentile; binning truncation (clamped radii, dropped insertions,
-    overflowing cells) is measured and returned in ``GridAccel.stats``
-    so capture can report it like tile binning does.
+  * TRAVERSAL / COMPOSITE SPLIT. The round-3 marcher paid the full packet
+    gathers (geom 1536 B + feats 1536 B + 2 int32 probes ~ 44 ns/ray) on
+    EVERY while-loop iteration — but a census of the flagship scene shows
+    only 22% of iterations land on an occupied cell (5.2 occupied
+    composites out of 23.9 iterations per ray). v3 marches in two phases:
+    phase A walks the grid with cheap block-table probes and records each
+    ray's next <= M occupied cells (slot + slab bounds); phase B gathers
+    and composites ONLY those recorded cells.
+  * BLOCK PROBES. Phase A probes a (B, 4) int32 table over 4x4x4-cell
+    blocks (16-byte rows gather at ~6.4 ns vs ~11-12 ns for the old
+    per-cell int32 probe — small tables with 16-32 B rows are the
+    row-gather sweet spot). One row carries a 64-bit in-block occupancy
+    mask + the base slot of the block's first occupied cell (slots are
+    ordered (block, in-block-rank), so slot = base + popcount(mask below
+    rank)) — up to 4 in-block DDA steps ride ONE gather, pure VPU.
+  * EUCLIDEAN EMPTY-SPACE JUMPS. Empty blocks store a fixed-point
+    euclidean distance (scipy EDT with per-axis sampling; chebyshev
+    fallback), so diagonal rays jump sqrt(3)x further than the round-3
+    chebyshev-min-axis jumps.
+  * FUSED PACKET ROWS. Phase B gathers ONE f32 row per (ray, occupied
+    cell) carrying geometry AND features (24 cols deg-0 / 40 cols deg-1;
+    f32 row gathers measured FASTER than bf16 at equal bytes: 9.2 vs
+    12.7 ns at 1536 B). Shadow marches gather a geometry-only 12-col
+    table instead.
+  * ROUNDS + CAPACITY COMPACTION, NO SILENT TRUNCATION. Rays pause when
+    their M slots fill; each following round argsorts (dead-last,
+    morton-of-position for coherence — argsort itself is ~11 ms at 2.1M)
+    and resumes only the first ``cap`` survivors at a shrinking capacity.
+    Rays still alive when the schedule ends are FROZEN AND COUNTED —
+    ``trace_grid``/``visibility_grid`` return the count (`frozen_alive`)
+    so callers can report it (ADVICE r3: the round-3 fractional
+    compaction silently froze overflow rays with no stat).
+  * SUB-BATCHED WHILE LOOPS. Full-width phases are python-unrolled into
+    ``sub_rays``-sized independent while_loops (NOT lax.map — a scanned
+    while_loop + large gather reproducibly crashed the v5e worker in
+    round 2): a sub-batch whose rays are all dead exits its loop
+    immediately, so sorted-dead rays cost nothing.
+
+Differentiability: the march reads host-built (numpy) acceleration
+tables and runs a reverse-mode-incompatible while_loop, so it is
+INFERENCE-ONLY with respect to scene parameters — `jax.grad` through a
+grid-backend render raises loudly (while_loop is not reverse-mode
+differentiable). Training gradients flow through the tile/dense paths.
 """
 from __future__ import annotations
 
@@ -53,62 +69,67 @@ from pathtracer_gaussiansplatting_tpu.core.types import (
 )
 from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
 
-# Geometry packet columns (used by every march, f32 for the quadratics).
+# Geometry-only table columns (shadow marches; f32).
 _G_Q = slice(0, 6)      # [q00, q11, q22, q01, q02, q12] world-space inv cov
 _G_MEAN = slice(6, 9)
 _G_OPAC = 9
 GEOM_COLS = 12          # 2 pad cols; 12*Kc stays a multiple of 128
 
-# Feature packet columns (only gathered by interaction traces; bf16 by
-# default). Two layouts: degree-0 scenes skip the 9 factored deg-1 SH
-# columns (gathers are the marcher's dominant cost).
-# Color: deg1 = max(DC + d.y*BY + d.z*BZ + d.x*BX + 0.5, 0); deg0 drops
-# the linear terms. Layout per width:
-#   16 cols: dc(3) emi(3) met rough cc ccr trn axis(3) pad(2)
-#   24 cols: dc(3) by(3) bz(3) bx(3) emi(3) met rough cc ccr trn axis(3) pad
-FEAT_COLS_DEG0 = 16
-FEAT_COLS_DEG1 = 24
+# Fused packet columns (interaction traces; f32). Layout:
+#   [q6(0:6), mean(6:9), opac(9), dc(10:13), emi(13:16), met(16),
+#    rough(17), cc(18), ccr(19), trn(20), axis(21:24)]
+# deg-1 scenes append [by(24:27), bz(27:30), bx(30:33)] + 7 pad -> 40.
+PKT_COLS_DEG0 = 24
+PKT_COLS_DEG1 = 40
+_P_DC, _P_EMI, _P_MET, _P_ROUGH = 10, 13, 16, 17
+_P_CC, _P_CCR, _P_TRN, _P_AXIS, _P_BY = 18, 19, 20, 21, 24
 
-
-def _feat_layout(ncols: int) -> dict:
-    """Column index of each feature channel for the given table width."""
-    if ncols == FEAT_COLS_DEG0:
-        return dict(dc=0, by=None, bz=None, bx=None, emi=3, met=6,
-                    rough=7, cc=8, ccr=9, trn=10, axis=11)
-    return dict(dc=0, by=3, bz=6, bx=9, emi=12, met=15, rough=16,
-                cc=17, ccr=18, trn=19, axis=20)
+# Fixed-point unit of the empty-block jump distance, in fractions of the
+# smallest cell edge.
+_JUMP_FP = 4.0
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GridAccel:
-    """Uniform-grid acceleration structure (pytree; dims/stats static).
+    """Uniform-grid acceleration structure (pytree; static metadata).
 
-    SPARSE tables: only the S occupied cells carry packed Gaussian data.
-    ``cell_map`` maps linear cell index -> table row for occupied cells
-    and -(chebyshev distance to the nearest occupied cell) for empty
-    ones, so one int32 gather both tests occupancy and sizes the
-    marcher's empty-space jump. ``geom``/``feats`` are stored FLAT as
-    (S, cols*Kc) with column c at [c*Kc:(c+1)*Kc]: cols*Kc is a
-    multiple of 128, so the marcher's row gathers are lane-exact (a
-    (S, Kc, 16) layout forced XLA to materialize gathers lane-padded
-    8x + a relayout pass — 2 x 28 ms per step at R=131k). ``stats``
-    records binning truncation (VERDICT r2 weak #2: no silent caps).
+    ``btab`` is the (B, 4) int32 block table over 4x4x4-cell blocks:
+    row = [info, base, mask_lo, mask_hi]. info >= 0 marks an occupied
+    block (mask = 64-bit cell-occupancy, base = slot of its first
+    occupied cell, info packs the tight AABB of the set cells as six
+    2-bit fields [xmin, xmax, ymin, ymax, zmin, zmax] — the marcher
+    slab-tests it so grazing rays that miss the occupied sub-box skip
+    the whole block in one probe); info < 0 encodes the safe euclidean
+    jump distance for empty blocks as -(1 + round(jump / jump_unit)).
+    ``geom``/``packet`` are FLAT (S, cols*Kc) f32 with column c at
+    [c*Kc:(c+1)*Kc]: cols*Kc is a multiple of 128, so row gathers are
+    lane-exact. ``stats`` records binning truncation (no silent caps).
     """
 
-    cell_map: jnp.ndarray   # (C,) int32: slot if occupied else -distance
-    geom: jnp.ndarray       # (S, GEOM_COLS*Kc) f32
-    feats: jnp.ndarray      # (S, FEAT_COLS*Kc) f32/bf16
+    btab: jnp.ndarray       # (B, 4) int32 block rows
+    geom: jnp.ndarray       # (S, GEOM_COLS*Kc) f32 (shadow marches)
+    packet: jnp.ndarray     # (S, PKT_COLS*Kc) f32 (interaction traces)
     lo: jnp.ndarray         # (3,)
     hi: jnp.ndarray         # (3,)
     dims: Tuple[int, int, int] = dataclasses.field(
         metadata=dict(static=True))
+    jump_unit: float = dataclasses.field(
+        default=1.0, metadata=dict(static=True))
     stats: tuple = dataclasses.field(
         default=(), metadata=dict(static=True))
 
     @property
     def max_per_cell(self) -> int:
         return self.geom.shape[1] // GEOM_COLS
+
+    @property
+    def pkt_cols(self) -> int:
+        return self.packet.shape[1] // self.max_per_cell
+
+    @property
+    def block_dims(self) -> Tuple[int, int, int]:
+        return tuple(-(-d // 4) for d in self.dims)
 
     @property
     def stats_dict(self) -> dict:
@@ -138,9 +159,9 @@ def _geometry_table(scene: GaussianScene) -> jnp.ndarray:
     return jnp.pad(table, ((0, 0), (0, GEOM_COLS - table.shape[-1])))
 
 
-def _feature_table(scene: GaussianScene) -> jnp.ndarray:
-    """(N, 16 or 24) packed feature rows (deg<=1 factored SH + PBR
-    scalars + surfel axis); deg-0 scenes use the narrow layout."""
+def _packet_table(scene: GaussianScene, geom: jnp.ndarray) -> jnp.ndarray:
+    """(N, 24 or 40) fused geometry+feature rows (deg<=1 factored SH +
+    PBR scalars + surfel axis); see module-level layout constants."""
     from pathtracer_gaussiansplatting_tpu.ops.gaussians import surfel_normal
 
     sh = scene.sh_coeffs
@@ -150,15 +171,14 @@ def _feature_table(scene: GaussianScene) -> jnp.ndarray:
                scene.clearcoat[:, None], scene.clearcoat_roughness[:, None],
                scene.transmission[:, None]]
     axis = surfel_normal(scene.log_scales, scene.quats)
+    cols = [geom[:, :10], dc, scene.emission] + scalars + [axis]
+    width = PKT_COLS_DEG0
     if deg1:
         by = -sh_mod.SH_C1 * sh[:, 1, :]
         bz = sh_mod.SH_C1 * sh[:, 2, :]
         bx = -sh_mod.SH_C1 * sh[:, 3, :]
-        cols = [dc, by, bz, bx, scene.emission] + scalars + [axis]
-        width = FEAT_COLS_DEG1
-    else:
-        cols = [dc, scene.emission] + scalars + [axis]
-        width = FEAT_COLS_DEG0
+        cols += [by, bz, bx]
+        width = PKT_COLS_DEG1
     table = jnp.concatenate(cols, axis=-1)
     return jnp.pad(table, ((0, 0), (0, width - table.shape[-1])))
 
@@ -166,8 +186,7 @@ def _feature_table(scene: GaussianScene) -> jnp.ndarray:
 def _aniso_extents(scene: GaussianScene, sigma: float) -> np.ndarray:
     """(N, 3) per-world-axis half-extents of each Gaussian's sigma-sigma
     AABB: h_i = sigma * sqrt(sum_j R_ij^2 s_j^2). For flat surfels this is
-    far tighter along the normal than the bounding sphere the round-2
-    binner used (which spilled surfels into ~5 cell layers)."""
+    far tighter along the normal than a bounding sphere."""
     from pathtracer_gaussiansplatting_tpu.ops.quaternions import rotmat_cols
 
     cols = [np.asarray(c, np.float32)
@@ -204,11 +223,40 @@ def fit_grid(scene: GaussianScene, sigma: float = 3.0,
     return (tuple(int(d) for d in dims), cap, exts_eff, lo, hi, n_clamped)
 
 
+def _block_jump_table(occ_blocks: np.ndarray, bdims, block_size,
+                      jump_unit: float) -> np.ndarray:
+    """Fixed-point safe jump distance per EMPTY block (0 for occupied).
+
+    Euclidean distance (block-center to block-center, per-axis sampling)
+    minus one block diagonal is a safe advance from anywhere inside the
+    block; falls back to chebyshev distance when scipy is absent.
+    """
+    bx, by, bz = bdims
+    occ3 = occ_blocks.reshape(bz, by, bx)
+    diag = float(np.linalg.norm(block_size))
+    try:
+        from scipy.ndimage import distance_transform_edt
+
+        dist = distance_transform_edt(
+            ~occ3, sampling=(block_size[2], block_size[1], block_size[0]))
+        jump = np.maximum(dist - diag, 0.0)
+    except Exception:
+        from pathtracer_gaussiansplatting_tpu.csrc.build import (
+            chebyshev_dist,
+        )
+
+        d = chebyshev_dist(occ3.reshape(-1), (bx, by, bz),
+                           cap=127).astype(np.float32)
+        jump = np.maximum((d.reshape(bz, by, bx) - 1.0)
+                          * float(min(block_size)), 0.0)
+    q = np.round(jump / jump_unit).astype(np.int64)
+    return np.minimum(q, 2 ** 30).astype(np.int32).reshape(-1)
+
+
 def build_grid_accel(scene: GaussianScene, dims=None,
                      max_per_cell: int = 32, sigma: float = 3.0,
                      radius_percentile: float = 99.0,
-                     memory_budget_bytes: float = 2.0e9,
-                     feats_dtype=jnp.bfloat16) -> GridAccel:
+                     memory_budget_bytes: float = 2.5e9) -> GridAccel:
     """Build the grid on the host (native C++ when available).
 
     ``dims=None`` auto-fits dims and the extent clamp to the scene
@@ -241,9 +289,10 @@ def build_grid_accel(scene: GaussianScene, dims=None,
         hi = (centers + exts_eff).max(0)
         n_clamped = int((h_max > cap).sum())
     n = scene.num_gaussians
+    deg1 = scene.sh_coeffs.shape[1] >= 4
+    pkt_cols = PKT_COLS_DEG1 if deg1 else PKT_COLS_DEG0
     priority = np.asarray(scene.opacities, np.float32)
-    row_bytes = max_per_cell * (
-        GEOM_COLS * 4 + FEAT_COLS_DEG1 * jnp.dtype(feats_dtype).itemsize)
+    row_bytes = max_per_cell * (GEOM_COLS + pkt_cols) * 4
     for _ in range(4):
         idx, cnt = grid_bin_aniso(centers, exts_eff, priority, dims,
                                   lo=lo, hi=hi, max_per_cell=max_per_cell)
@@ -274,15 +323,51 @@ def build_grid_accel(scene: GaussianScene, dims=None,
             100 * stats["clamped_frac"], cap,
             100 * stats["dropped_frac"],
             100 * stats["overflow_cell_frac"], max_per_cell)
-    # cell_map: slot index for occupied cells; -(chebyshev distance to
-    # the nearest occupied cell) for empty ones — one gather serves both
-    # the occupancy test and the empty-space jump length.
-    from pathtracer_gaussiansplatting_tpu.csrc.build import chebyshev_dist
 
-    n_cells = len(cnt)
-    dist = chebyshev_dist(cnt > 0, dims, cap=127).astype(np.int32)
-    cell_map = -np.maximum(dist, 1)
-    cell_map[occupied] = np.arange(len(occupied), dtype=np.int32)
+    # ---- block table: occupancy masks + slot bases + euclid jumps ----
+    gx, gy, gz = dims
+    bdims = tuple(-(-d // 4) for d in dims)
+    bx_, by_, bz_ = bdims
+    span = np.maximum(np.asarray(hi) - np.asarray(lo), 1e-12)
+    cell_size = span / np.asarray(dims, np.float64)
+    # occupied cells ordered (block-linear, in-block rank) so each
+    # block's slots are consecutive and recoverable via popcount.
+    cz, cyx = np.divmod(occupied, gx * gy)
+    cy, cx = np.divmod(cyx, gx)
+    blin = ((cz >> 2) * by_ + (cy >> 2)) * bx_ + (cx >> 2)
+    rank = (cx & 3) + 4 * (cy & 3) + 16 * (cz & 3)
+    order = np.argsort(blin * 64 + rank, kind="stable")
+    occupied = occupied[order]
+    blin, rank = blin[order], rank[order]
+
+    n_blocks = bx_ * by_ * bz_
+    mask64 = np.zeros(n_blocks, np.uint64)
+    np.bitwise_or.at(mask64, blin, np.uint64(1) << rank.astype(np.uint64))
+    occ_blocks = mask64 != 0
+    base = np.zeros(n_blocks, np.int64)
+    first = np.unique(blin, return_index=True)
+    base[first[0]] = first[1]
+    # Tight per-block AABB of the set cells, six 2-bit fields in info.
+    bmin = np.full((n_blocks, 3), 3, np.int64)
+    bmax = np.zeros((n_blocks, 3), np.int64)
+    inblock = np.stack([cx & 3, cy & 3, cz & 3], axis=-1)
+    np.minimum.at(bmin, blin, inblock[order])
+    np.maximum.at(bmax, blin, inblock[order])
+    bounds = (bmin[:, 0] | (bmax[:, 0] << 2) | (bmin[:, 1] << 4)
+              | (bmax[:, 1] << 6) | (bmin[:, 2] << 8)
+              | (bmax[:, 2] << 10))
+    jump_unit = float(cell_size.min()) / _JUMP_FP
+    jump_q = _block_jump_table(occ_blocks, bdims,
+                               np.asarray(cell_size * 4.0, np.float64),
+                               jump_unit)
+    info = np.where(occ_blocks, bounds, -(1 + jump_q.astype(np.int64)))
+    btab = np.stack([
+        info.astype(np.int32),
+        base.astype(np.int32),
+        (mask64 & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32),
+        (mask64 >> np.uint64(32)).astype(np.uint32).view(np.int32),
+    ], axis=-1)
+
     idx_s = idx[occupied] if len(occupied) else np.full(
         (1, max_per_cell), -1, np.int32)
     idx_s = jnp.asarray(idx_s)
@@ -290,23 +375,21 @@ def build_grid_accel(scene: GaussianScene, dims=None,
     safe = jnp.maximum(idx_s, 0)
     s = idx_s.shape[0]
 
-    def flat(table, dtype):
+    def flat(table):
         rows = table[safe]                       # (S, Kc, cols)
         rows = jnp.where(valid[..., None], rows, 0.0)
         # (S, cols, Kc) -> (S, cols*Kc): column c occupies a contiguous
         # Kc-run, and cols*Kc is a multiple of 128 (lane-exact gathers).
-        return jnp.swapaxes(rows, 1, 2).reshape(s, -1).astype(dtype)
+        return jnp.swapaxes(rows, 1, 2).reshape(s, -1).astype(jnp.float32)
 
-    geom = flat(_geometry_table(scene), jnp.float32)
-    feats = flat(_feature_table(scene), feats_dtype)
+    geom_rows = _geometry_table(scene)
+    geom = flat(geom_rows)
+    packet = flat(_packet_table(scene, geom_rows))
     return GridAccel(
-        cell_map=jnp.asarray(cell_map), geom=geom, feats=feats,
-        lo=jnp.asarray(lo), hi=jnp.asarray(hi), dims=dims,
+        btab=jnp.asarray(btab), geom=geom, packet=packet,
+        lo=jnp.asarray(lo, jnp.float32), hi=jnp.asarray(hi, jnp.float32),
+        dims=dims, jump_unit=jump_unit,
         stats=tuple(sorted(stats.items())))
-
-
-def _cell_linear(cell, dims):
-    return (cell[:, 2] * dims[1] + cell[:, 1]) * dims[0] + cell[:, 0]
 
 
 def _ray_setup(origins, dirs, accel: GridAccel, t_min):
@@ -348,272 +431,544 @@ def _ordered_weights(t_peak, alpha):
 _ACC_KEYS = ("col_r", "col_g", "col_b", "emi_r", "emi_g", "emi_b",
              "met", "rough", "cc", "ccr", "trn", "nx", "ny", "nz", "tsum")
 
+# Round schedule for large batches: (capacity fraction of R, slots M,
+# phase-A iteration budget, A exit fraction, B exit fraction). Round 0
+# runs full width; later rounds compact survivors to a shrinking
+# capacity (overflow is COUNTED, not silently dropped). sum(M) bounds
+# occupied composites per ray. Exit fractions stop a phase once that
+# share of the batch is still active — stragglers pause/rewind and
+# resume compacted — because a while-loop iteration costs the FULL
+# batch width whatever the live-lane count; the LAST round must use 0.
+# Tuned on the flagship scene (benchmarks/profile_march2.py census:
+# count p50=3 p90=8, iteration need p50~12 p98~40).
+_DEFAULT_SCHEDULE = ((1.0, 8, 64, 0.05, 0.10),
+                     (0.25, 16, 96, 0.02, 0.05),
+                     (0.0625, 32, 160, 0.005, 0.01),
+                     (0.015625, 64, 320, 0.0, 0.0))
+_COMPACT_MIN_RAYS = 32768   # below this: single batch, no sorting
+_SUB_RAYS = 524288          # full-width phases split into this
 
-def _march_phase(accel: GridAccel, origins, dirs, settings, max_steps,
-                 t_end, with_features, jump_steps, carry):
-    """Run up to ``max_steps`` march iterations from an existing carry.
 
-    Recompute-from-t traversal: each iteration derives the current cell
-    and its exit t directly from the ray parameter t (no incremental DDA
-    state), gathers the cell's flat packet rows, composites the slab
-    [t, t_exit) front-to-back into per-ray carries, and advances. Empty
-    cells cost one int32 gather and are crossed with chebyshev
-    distance-field JUMPS (a cell at distance d from the nearest occupied
-    cell lets the ray advance (d-1) * min-axis-transit in one step);
-    ``jump_steps`` cheap jump-only iterations run before each heavy
-    step. Rays stop when they exit the grid, pass ``t_end``, or their
-    transmittance saturates below settings.transmittance_min.
+def _phase_a(accel: GridAccel, origins, dirs, setup, t, alive, t_far,
+             m_slots: int, a_max: int, exit_frac: float = 0.0):
+    """Probe-only traversal: record the next <= m_slots occupied cells.
+
+    Stops early once fewer than ``exit_frac`` of the batch is still
+    probing (stragglers pause and resume in a later, compacted round —
+    the while loop otherwise runs every lane to the BATCH-max iteration
+    count, ~5x the mean on the flagship scene). Returns (slots (R, M)
+    i32, t_ent (R, M), t_exit (R, M), count (R,), t_new (R,),
+    paused (R,) [not dead, traversal unfinished or slots full]).
     """
     r = origins.shape[0]
-    setup = _ray_setup(origins, dirs, accel, settings.t_min)
     dims = accel.dims
-    dims_arr = jnp.asarray(dims)
-    n_cells = accel.cell_map.shape[0]
-    kc = accel.max_per_cell
+    bdims = accel.block_dims
     cell_size, inv_d = setup["cell_size"], setup["inv_d"]
     step_pos, min_delta = setup["step_pos"], setup["min_delta"]
-    t_far = setup["t_far"] if t_end is None \
-        else jnp.minimum(setup["t_far"], t_end)
-    t_cap = (jnp.full((r,), settings.t_max) if t_end is None else t_end)
-    cut = float(np.exp(-0.5 * settings.sigma_cut * settings.sigma_cut))
-    eps = 1e-3 * min_delta                              # (R,)
+    eps = 1e-3 * min_delta
     probe = 0.25 * eps
     lo = accel.lo[None]
+    dims_f = jnp.asarray(dims, jnp.float32)
+    n_blocks = accel.btab.shape[0]
+    block_edge = cell_size * 4.0
+    jump_unit = accel.jump_unit
+    miota = jnp.arange(m_slots)
 
-    dx, dy, dz = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
-    ox, oy, oz = origins[:, 0:1], origins[:, 1:2], origins[:, 2:3]
-
-    def cell_probe(t, alive):
-        """(cell_map value, slab exit t) of the cell just past t."""
-        p = origins + (t + probe)[:, None] * dirs
+    def cell_of(t_):
+        p = origins + (t_ + probe)[:, None] * dirs
         cell = jnp.clip(jnp.floor((p - lo) / cell_size[None]),
-                        0, dims_arr.astype(jnp.float32) - 1)
-        icell = cell.astype(jnp.int32)
-        lin = jnp.clip(_cell_linear(icell, dims), 0, n_cells - 1)
-        cm = accel.cell_map[jnp.where(alive, lin, 0)]
+                        0, dims_f - 1.0)
+        return cell
+
+    def cell_exit(cell, t_):
         bnd = lo + (cell + step_pos) * cell_size[None]
         t_exit = jnp.min((bnd - origins) * inv_d, -1)
-        t_exit = jnp.maximum(t_exit, t + eps)           # progress floor
-        return cm, t_exit
+        return jnp.maximum(t_exit, t_ + eps)
 
-    def jump(t, cm, t_exit):
-        """Empty-space advance: cross (distance - 1) cells in one step."""
-        dist = (-cm).astype(jnp.float32)                # >= 1 for empty
-        return jnp.maximum(t_exit, t + (dist - 1.0) * min_delta)
-
-    carry = dict(carry, step=jnp.int32(0))
-
-    def cond(carry):
-        return (carry["step"] < max_steps) & jnp.any(carry["alive"])
+    def block_exit(cell, t_):
+        bcell = jnp.floor(cell / 4.0)
+        bnd = lo + (bcell + step_pos) * block_edge[None]
+        t_exit = jnp.min((bnd - origins) * inv_d, -1)
+        return jnp.maximum(t_exit, t_ + eps)
 
     def body(carry):
-        t, alive = carry["t"], carry["alive"]
+        t_, count, slots, t_ent, t_exd, it = carry
+        probing = (t_ < t_far) & (count < m_slots)
+        cell = cell_of(t_)
+        icell = cell.astype(jnp.int32)
+        bx = icell[:, 0] >> 2
+        by = icell[:, 1] >> 2
+        bz = icell[:, 2] >> 2
+        blin = jnp.clip((bz * bdims[1] + by) * bdims[0] + bx,
+                        0, n_blocks - 1)
+        row = accel.btab[jnp.where(probing, blin, 0)]       # (R, 4)
+        info = row[:, 0]
+        base = row[:, 1]
+        mlo = row[:, 2].astype(jnp.uint32)
+        mhi = row[:, 3].astype(jnp.uint32)
+        occ_block = info >= 0
 
-        # --- cheap jump-only iterations (one int32 gather each) ---
-        for _ in range(jump_steps):
-            cm, t_exit = cell_probe(t, alive)
-            move = alive & (cm < 0) & (t < t_far)
-            t = jnp.where(move, jump(t, cm, t_exit), t)
+        # Empty block: euclidean jump (at least to the block exit).
+        t_bex = block_exit(cell, t_)
+        jump_w = (-(info + 1)).astype(jnp.float32) * jump_unit
+        t_jump = jnp.maximum(t_bex, t_ + jump_w)
 
-        # --- heavy step: composite the current (occupied) cell ---
-        cm, t_exit = cell_probe(t, alive)
-        occupied = cm >= 0
-        srow = jnp.where(alive & occupied, cm, 0)
-        # optimization_barrier pins the gather output in its natural
-        # row-major layout: without it XLA fuses the consumers'
-        # preferred (col-major over R) layout INTO the gather as a
-        # strided write plus a second full relayout copy.
-        g = jax.lax.optimization_barrier(accel.geom[srow])  # (R, 12*Kc)
+        # Occupied block: slab-test the tight AABB of its set cells —
+        # grazing rays that miss the sub-box (e.g. skimming just above a
+        # floor whose surfels fill only the block's bottom cell layers)
+        # cross the whole block in this ONE probe instead of stepping
+        # cell by cell; rays that hit it start stepping at the box entry.
+        b = jnp.maximum(info, 0)
+        bmin = jnp.stack([b & 3, (b >> 4) & 3, (b >> 8) & 3],
+                         -1).astype(jnp.float32)
+        bmax = jnp.stack([(b >> 2) & 3, (b >> 6) & 3, (b >> 10) & 3],
+                         -1).astype(jnp.float32)
+        borig_w = lo + jnp.stack([bx, by, bz], -1).astype(jnp.float32) \
+            * block_edge[None]
+        box_lo = borig_w + bmin * cell_size[None]
+        box_hi = borig_w + (bmax + 1.0) * cell_size[None]
+        tb0 = (box_lo - origins) * inv_d
+        tb1 = (box_hi - origins) * inv_d
+        t_in = jnp.max(jnp.minimum(tb0, tb1), -1)
+        t_out = jnp.min(jnp.maximum(tb0, tb1), -1)
+        enter = jnp.maximum(t_, t_in)
+        box_hit = occ_block & (t_out > enter)
 
-        def gc(c):
-            return g[:, c * kc:(c + 1) * kc]            # (R, Kc)
+        # Up to 4 in-block cell steps from this one row, starting at the
+        # sub-box entry.
+        tk = jnp.where(box_hit, enter, t_)
+        ck = count
+        sl, te, tx = slots, t_ent, t_exd
+        for _ in range(4):
+            cellk = cell_of(tk)
+            icellk = cellk.astype(jnp.int32)
+            same_block = ((icellk[:, 0] >> 2) == bx) \
+                & ((icellk[:, 1] >> 2) == by) \
+                & ((icellk[:, 2] >> 2) == bz)
+            stepk = probing & box_hit & same_block & (tk < t_far) \
+                & (tk < t_out)
+            rank = ((icellk[:, 0] & 3) + 4 * (icellk[:, 1] & 3)
+                    + 16 * (icellk[:, 2] & 3)).astype(jnp.uint32)
+            hi_word = rank >= 32
+            sh = jnp.where(hi_word, rank - 32, rank)
+            word = jnp.where(hi_word, mhi, mlo)
+            bit = ((word >> sh) & 1).astype(jnp.bool_)
+            below = (jnp.uint32(1) << sh) - 1
+            below_lo = jnp.where(hi_word, mlo, mlo & below)
+            below_hi = jnp.where(hi_word, mhi & below, 0)
+            nb = (jax.lax.population_count(below_lo)
+                  + jax.lax.population_count(below_hi)).astype(jnp.int32)
+            slot = base + nb
+            tex = cell_exit(cellk, tk)
+            can_take = ck < m_slots
+            take = stepk & bit & can_take
+            put = take[:, None] & (ck[:, None] == miota[None])
+            sl = jnp.where(put, slot[:, None], sl)
+            te = jnp.where(put, tk[:, None], te)
+            tx = jnp.where(put, tex[:, None], tx)
+            ck = ck + take.astype(jnp.int32)
+            advance = stepk & (~bit | take)
+            tk = jnp.where(advance, tex, tk)
 
-        mx, my, mz = gc(6), gc(7), gc(8)
-        ogx, ogy, ogz = ox - mx, oy - my, oz - mz
-        q00, q11, q22 = gc(0), gc(1), gc(2)
-        q01, q02, q12 = gc(3), gc(4), gc(5)
-        a_q = (dx * dx * q00 + dy * dy * q11 + dz * dz * q22
-               + 2.0 * (dx * dy * q01 + dx * dz * q02 + dy * dz * q12))
-        a_q = jnp.maximum(a_q, 1e-12)
-        wx = q00 * ogx + q01 * ogy + q02 * ogz
-        wy = q01 * ogx + q11 * ogy + q12 * ogz
-        wz = q02 * ogx + q12 * ogy + q22 * ogz
-        b_q = dx * wx + dy * wy + dz * wz
-        c_q = wx * ogx + wy * ogy + wz * ogz
-        peak = -b_q / a_q
-        t_peak = jnp.clip(peak, settings.t_min, settings.t_max)
-        # For shadow segments, respond at the peak clamped into the
-        # remaining segment (segment_transmittance_alpha semantics).
-        t_resp = jnp.clip(peak, jnp.maximum(t, settings.t_min)[:, None],
-                          t_cap[:, None]) if t_end is not None else t_peak
-        qv = (a_q * t_resp + 2.0 * b_q) * t_resp + c_q
-        gval = jnp.exp(-0.5 * jnp.maximum(qv, 0.0))
-        opac = gc(_G_OPAC)
-        a0 = opac * gval
-        live = (gval >= cut) & (a0 >= settings.alpha_min) if t_end is None \
-            else (a0 >= settings.alpha_min)
-        alpha = jnp.where(live, jnp.minimum(a0, settings.alpha_max), 0.0)
-        # Exactly one slab owns each peak: [t, t_exit) half-open.
-        in_slab = (t_peak >= t[:, None]) & (t_peak < t_exit[:, None])
-        valid = (opac > 0.0) & (alive & occupied)[:, None] & in_slab
-        alpha = jnp.where(valid, alpha, 0.0)
-        cell_trans = jnp.prod(1.0 - alpha, axis=-1)
+        # Past the sub-box (or never in it): skip to the block exit.
+        t_occ = jnp.where(box_hit & (tk < t_out), tk,
+                          jnp.maximum(t_bex, tk))
+        t_new = jnp.where(probing,
+                          jnp.where(occ_block, t_occ, t_jump), t_)
+        return (t_new, ck, sl, te, tx, it + 1)
 
-        new_carry = dict(carry)
-        if with_features:
-            excl = _ordered_weights(t_peak, alpha)
-            w = carry["trans"][:, None] * excl * alpha  # (R, Kc)
-            fk = jax.lax.optimization_barrier(
-                accel.feats[srow]).astype(jnp.float32)  # (R, F*Kc)
-            fl = _feat_layout(accel.feats.shape[1] // kc)
+    probe_floor = jnp.int32(max(int(r * exit_frac), 0))
 
-            def fc(c):
-                return fk[:, c * kc:(c + 1) * kc]
+    def cond(carry):
+        t_, count, _, _, _, it = carry
+        probing = (t_ < t_far) & (count < m_slots)
+        return (it < a_max) & (jnp.sum(probing.astype(jnp.int32))
+                               > probe_floor)
 
-            ax, ay, az = (fc(fl["axis"]), fc(fl["axis"] + 1),
-                          fc(fl["axis"] + 2))
-            sgn = jnp.where(ax * dx + ay * dy + az * dz > 0, -1.0, 1.0)
-            acc = carry["acc"]
-            upd = {}
-            for ch, key in enumerate(("col_r", "col_g", "col_b")):
-                col = fc(fl["dc"] + ch) + 0.5
-                if fl["by"] is not None:
-                    col = (col + dy * fc(fl["by"] + ch)
-                           + dz * fc(fl["bz"] + ch)
-                           + dx * fc(fl["bx"] + ch))
-                col = jnp.maximum(col, 0.0)
-                upd[key] = jnp.sum(w * col, -1)
-            for ch, key in enumerate(("emi_r", "emi_g", "emi_b")):
-                upd[key] = jnp.sum(w * fc(fl["emi"] + ch), -1)
-            for name in ("met", "rough", "cc", "ccr", "trn"):
-                upd[name] = jnp.sum(w * fc(fl[name]), -1)
-            upd["nx"] = jnp.sum(w * ax * sgn, -1)
-            upd["ny"] = jnp.sum(w * ay * sgn, -1)
-            upd["nz"] = jnp.sum(w * az * sgn, -1)
-            upd["tsum"] = jnp.sum(w * t_peak, -1)
-            new_carry["acc"] = {k: acc[k] + upd[k] for k in _ACC_KEYS}
-        trans = carry["trans"] * cell_trans
-
-        t_new = jnp.where(occupied, t_exit, jump(t, cm, t_exit))
-        t_new = jnp.where(alive, t_new, t)
-        alive = alive & (t_new < t_far) \
-            & (trans > settings.transmittance_min)
-        new_carry.update(t=t_new, trans=trans, alive=alive,
-                         step=carry["step"] + 1)
-        return new_carry
-
-    return jax.lax.while_loop(cond, body, carry)
+    slots0 = jnp.zeros((r, m_slots), jnp.int32)
+    tz = jnp.zeros((r, m_slots))
+    t0 = jnp.where(alive, t, t_far)     # dead rays never probe
+    carry = (t0, jnp.zeros((r,), jnp.int32), slots0, tz, tz,
+             jnp.int32(0))
+    t_new, count, slots, t_ent, t_exd, _ = jax.lax.while_loop(
+        cond, body, carry)
+    paused = (t_new < t_far) & alive
+    return slots, t_ent, t_exd, count, jnp.where(alive, t_new, t), paused
 
 
-# Compaction schedule: (heavy-step budget, batch fraction). After the
-# first full-batch phase, surviving rays are sorted to the front and the
-# march continues on a shrinking sub-batch — the gathers are row-rate
-# bound, so dead lanes cost as much as live ones and the long tail
-# (grazing rays) would otherwise drag the whole batch through ~100
-# full-size iterations.
-_COMPACT_PHASES = ((16, 1.0), (24, 0.25), (88, 0.0625))
-_COMPACT_MIN_RAYS = 32768
-# Peak-memory bound for any single while_loop: sub-batches above this are
-# marched sequentially (python-unrolled inside the jit, NOT lax.map —
-# see _march.phase_chunked).
-_PHASE_MAX_RAYS = 524288
+def _phase_b(accel: GridAccel, origins, dirs, settings: RenderSettings,
+             slots, t_ent, t_exd, count, trans, acc, alive,
+             with_features: bool, t_cap=None):
+    """Composite the recorded occupied cells front-to-back, FLAT.
+
+    Mirrors the round-3 heavy-step math exactly (slab-owned peaks,
+    O(Kc^2) within-cell ordering) but evaluates ALL (ray, slot) pairs in
+    one dense pass: one (R*M)-row fused packet gather, per-slab
+    quantities reduced to (R, M), then an exclusive transmittance
+    cumprod across the M slots (M is small). No while loop — the loop
+    version bills every lane the BATCH-max slot count per iteration plus
+    per-iteration dispatch overhead; the flat form is pure pipelined
+    dataflow (measured faster despite gathering all M rows). Slots past
+    transmittance saturation contribute through a ~0 carried
+    transmittance exactly like the dense oracle. Returns
+    (trans, acc, alive)."""
+    r, m_slots = slots.shape
+    kc = accel.max_per_cell
+    cut = float(np.exp(-0.5 * settings.sigma_cut * settings.sigma_cut))
+    table = accel.packet if with_features else accel.geom
+    miota = jnp.arange(m_slots)
+    valid_m = alive[:, None] & (miota[None] < count[:, None])   # (R, M)
+    srow = jnp.where(valid_m, slots, 0).reshape(-1)
+    # No optimization_barrier here: in the flat form the gather should
+    # FUSE into its consumers (a pinned (V, C*Kc) buffer at V=R*M is a
+    # multi-GB materialization that OOMed the 1080p frame).
+    g = table[srow]                                 # (V, C*Kc), V = R*M
+
+    def gc(c):
+        return g[:, c * kc:(c + 1) * kc]            # (V, Kc)
+
+    def rep(x):                                      # (R,) -> (V, 1)
+        return jnp.broadcast_to(x[:, None], (r, m_slots)).reshape(-1, 1)
+
+    dx, dy, dz = rep(dirs[:, 0]), rep(dirs[:, 1]), rep(dirs[:, 2])
+    ox, oy, oz = rep(origins[:, 0]), rep(origins[:, 1]), rep(origins[:, 2])
+    t0 = t_ent.reshape(-1, 1)
+    t1 = t_exd.reshape(-1, 1)
+
+    mx, my, mz = gc(6), gc(7), gc(8)
+    ogx, ogy, ogz = ox - mx, oy - my, oz - mz
+    q00, q11, q22 = gc(0), gc(1), gc(2)
+    q01, q02, q12 = gc(3), gc(4), gc(5)
+    a_q = (dx * dx * q00 + dy * dy * q11 + dz * dz * q22
+           + 2.0 * (dx * dy * q01 + dx * dz * q02 + dy * dz * q12))
+    a_q = jnp.maximum(a_q, 1e-12)
+    wx = q00 * ogx + q01 * ogy + q02 * ogz
+    wy = q01 * ogx + q11 * ogy + q12 * ogz
+    wz = q02 * ogx + q12 * ogy + q22 * ogz
+    b_q = dx * wx + dy * wy + dz * wz
+    c_q = wx * ogx + wy * ogy + wz * ogz
+    peak = -b_q / a_q
+    t_peak = jnp.clip(peak, settings.t_min, settings.t_max)
+    # For shadow segments, respond at the peak clamped into the
+    # remaining segment (segment_transmittance_alpha semantics).
+    if t_cap is not None:
+        t_resp = jnp.clip(peak, jnp.maximum(t0, settings.t_min),
+                          rep(t_cap))
+    else:
+        t_resp = t_peak
+    qv = (a_q * t_resp + 2.0 * b_q) * t_resp + c_q
+    gval = jnp.exp(-0.5 * jnp.maximum(qv, 0.0))
+    opac = gc(_G_OPAC)
+    a0 = opac * gval
+    live = (gval >= cut) & (a0 >= settings.alpha_min) \
+        if t_cap is None else (a0 >= settings.alpha_min)
+    alpha = jnp.where(live, jnp.minimum(a0, settings.alpha_max), 0.0)
+    # Exactly one slab owns each peak: [t0, t1) half-open.
+    in_slab = (t_peak >= t0) & (t_peak < t1)
+    valid = (opac > 0.0) & valid_m.reshape(-1, 1) & in_slab
+    alpha = jnp.where(valid, alpha, 0.0)
+    cell_trans = jnp.prod(1.0 - alpha, axis=-1).reshape(r, m_slots)
+
+    # Exclusive cumprod of cell transmittances across the M slots:
+    # T_m = trans * prod_{j<m} ct_j (M is small; static unroll).
+    excl_slots = [jnp.ones((r,))]
+    for m in range(1, m_slots):
+        excl_slots.append(excl_slots[-1] * cell_trans[:, m - 1])
+    t_entry_slots = trans[:, None] * jnp.stack(excl_slots, -1)  # (R, M)
+    trans_new = t_entry_slots[:, -1] * cell_trans[:, -1]
+
+    if with_features:
+        excl = _ordered_weights(t_peak, alpha)       # (V, Kc)
+        w = t_entry_slots.reshape(-1, 1) * excl * alpha
+        ax, ay, az = gc(_P_AXIS), gc(_P_AXIS + 1), gc(_P_AXIS + 2)
+        sgn = jnp.where(ax * dx + ay * dy + az * dz > 0, -1.0, 1.0)
+        deg1 = accel.pkt_cols >= PKT_COLS_DEG1
+
+        def tot(wcol):                               # (V, Kc) -> (R,)
+            return jnp.sum(jnp.sum(wcol, -1).reshape(r, m_slots), -1)
+
+        upd = {}
+        for ch, key in enumerate(("col_r", "col_g", "col_b")):
+            col = gc(_P_DC + ch) + 0.5
+            if deg1:
+                col = (col + dy * gc(_P_BY + ch)
+                       + dz * gc(_P_BY + 3 + ch)
+                       + dx * gc(_P_BY + 6 + ch))
+            col = jnp.maximum(col, 0.0)
+            upd[key] = tot(w * col)
+        for ch, key in enumerate(("emi_r", "emi_g", "emi_b")):
+            upd[key] = tot(w * gc(_P_EMI + ch))
+        for name, c in (("met", _P_MET), ("rough", _P_ROUGH),
+                        ("cc", _P_CC), ("ccr", _P_CCR),
+                        ("trn", _P_TRN)):
+            upd[name] = tot(w * gc(c))
+        upd["nx"] = tot(w * ax * sgn)
+        upd["ny"] = tot(w * ay * sgn)
+        upd["nz"] = tot(w * az * sgn)
+        upd["tsum"] = tot(w * t_peak)
+        acc = {k: acc[k] + upd[k] for k in _ACC_KEYS}
+    alive = alive & (trans_new > settings.transmittance_min)
+    return trans_new, acc, alive
+
+
+def _march_round(accel, origins, dirs, settings, setup, state,
+                 with_features, m_slots, a_max, t_cap,
+                 a_exit: float = 0.0, b_exit: float = 0.0,
+                 b_bytes: float = 1.2e9):
+    """One A+B round over a (sub-)batch, mutating the state dict.
+
+    Phase B is flat over (ray, slot) pairs; its transient gather output
+    is bounded to ``b_bytes`` by python-chunking the batch (pure
+    dataflow — no while loop, so chunks pipeline freely). ``b_exit`` is
+    accepted for schedule compatibility and unused (flat B always
+    consumes every recorded slot)."""
+    del b_exit
+    t, trans, alive = state["t"], state["trans"], state["alive"]
+    t_far = state["t_far"]
+    slots, t_ent, t_exd, count, t_new, paused = _phase_a(
+        accel, origins, dirs, setup, t, alive, t_far, m_slots, a_max,
+        a_exit)
+    r = origins.shape[0]
+    table = accel.packet if with_features else accel.geom
+    b_sub = int(b_bytes / max(m_slots * table.shape[1] * 4, 1))
+    b_sub = max(32768, -(-b_sub // 256) * 256)
+    acc0 = state.get("acc")
+    if r <= b_sub:
+        trans, acc, alive_b = _phase_b(
+            accel, origins, dirs, settings, slots, t_ent, t_exd, count,
+            trans, acc0, alive, with_features, t_cap)
+    else:
+        parts = []
+        tok = trans[:1]
+        for s_ in range(0, r, b_sub):
+            e = min(s_ + b_sub, r)
+            sl = lambda x, s_=s_, e=e: x[s_:e]
+            # Chain chunks through a barrier on EVERY sliced input (the
+            # gather depends on slots, so chaining trans alone lets XLA
+            # hoist all chunk gathers and OOM HBM with their multi-GB
+            # transients).
+            sl_slots, sl_te, sl_tx, tr_in, tok = \
+                jax.lax.optimization_barrier(
+                    (slots[s_:e], t_ent[s_:e], t_exd[s_:e],
+                     trans[s_:e], tok))
+            parts.append(_phase_b(
+                accel, origins[s_:e], dirs[s_:e], settings,
+                sl_slots, sl_te, sl_tx, count[s_:e],
+                tr_in, None if acc0 is None else
+                jax.tree.map(sl, acc0), alive[s_:e], with_features,
+                None if t_cap is None else t_cap[s_:e]))
+            tok = parts[-1][0][:1]
+        trans, acc, alive_b = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *parts)
+    # A ray survives the round iff it paused in A (slots full or
+    # traversal unfinished) AND phase B did not saturate it.
+    alive = paused & alive_b
+    state = dict(state, t=t_new, trans=trans, alive=alive)
+    if with_features:
+        state["acc"] = acc
+    return state
+
+
+def _interleave_bits(v):
+    """Spread the low 10 bits of v (uint32) to every 3rd bit position."""
+    v = v & jnp.uint32(0x3FF)
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def _sort_key(origins, dirs, t, alive, accel):
+    """Dead-last, then morton-of-current-position + direction octant."""
+    p = origins + t[:, None] * dirs
+    ext = jnp.maximum(accel.hi - accel.lo, 1e-12)
+    q = jnp.clip((p - accel.lo[None]) / ext[None] * 127.0, 0.0, 127.0)
+    qi = q.astype(jnp.uint32)
+    morton = (_interleave_bits(qi[:, 0])
+              | (_interleave_bits(qi[:, 1]) << 1)
+              | (_interleave_bits(qi[:, 2]) << 2))
+    octant = ((dirs[:, 0] >= 0).astype(jnp.uint32)
+              | ((dirs[:, 1] >= 0).astype(jnp.uint32) << 1)
+              | ((dirs[:, 2] >= 0).astype(jnp.uint32) << 2))
+    key = (morton << 3) | octant
+    return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+
+
+_STATE_KEYS = ("t", "trans", "t_far")
+
+
+def _pack_acc(acc):
+    return jnp.stack([acc[k] for k in _ACC_KEYS], axis=-1)  # (R, 15)
+
+
+def _unpack_acc(packed):
+    return {k: packed[:, i] for i, k in enumerate(_ACC_KEYS)}
 
 
 def _march(accel: GridAccel, origins, dirs, settings: RenderSettings,
            max_steps: int, t_end=None, with_features: bool = True,
-           jump_steps: int = 1, active=None):
-    """Core grid march: returns (trans (R,), acc dict of (R,) or None).
+           active=None, schedule=_DEFAULT_SCHEDULE,
+           sub_rays: int = _SUB_RAYS,
+           compact_min: int = _COMPACT_MIN_RAYS):
+    """Core grid march: (trans (R,), acc dict | None, frozen (scalar)).
 
-    ``active`` (R,) bool optionally pre-kills rays (e.g. path-traced
-    lanes whose throughput already died): they skip every gather and,
-    after the first compaction, stop occupying batch slots at all."""
+    ``active`` (R,) bool optionally pre-kills rays; ``max_steps`` bounds
+    the total occupied-cell composites per ray (the schedule is clipped
+    to it). ``frozen`` counts rays still alive when the schedule ends —
+    their accumulation is partial (reported, never silent).
+    """
     r = origins.shape[0]
     setup = _ray_setup(origins, dirs, accel, settings.t_min)
+    t_far = setup["t_far"] if t_end is None \
+        else jnp.minimum(setup["t_far"], t_end)
+    t_cap = None if t_end is None else t_end
     alive0 = setup["inside"] if active is None \
         else setup["inside"] & active
-    carry = dict(t=setup["t_entry"], trans=jnp.ones((r,)),
-                 alive=alive0, step=jnp.int32(0))
+    state = dict(t=setup["t_entry"], trans=jnp.ones((r,)),
+                 alive=alive0, t_far=t_far)
     if with_features:
-        carry["acc"] = {k: jnp.zeros((r,)) for k in _ACC_KEYS}
+        state["acc"] = {k: jnp.zeros((r,)) for k in _ACC_KEYS}
 
-    if r < _COMPACT_MIN_RAYS:
-        carry = _march_phase(accel, origins, dirs, settings, max_steps,
-                             t_end, with_features, jump_steps, carry)
-        return carry["trans"], carry.get("acc")
+    # Clip the schedule to the max_steps occupied-composite budget.
+    # Entries are (frac, M, a_max) or (frac, M, a_max, a_exit, b_exit);
+    # the last effective round always runs its phases to completion.
+    rounds = []
+    budget = max_steps
+    for entry in schedule:
+        frac, m, a_max = entry[:3]
+        a_exit, b_exit = (entry[3], entry[4]) if len(entry) > 4 \
+            else (0.0, 0.0)
+        if budget <= 0:
+            break
+        m = min(m, budget)
+        budget -= m
+        rounds.append((frac, m, a_max, a_exit, b_exit))
+    if rounds:
+        frac, m, a_max, _, _ = rounds[-1]
+        rounds[-1] = (frac, m, a_max, 0.0, 0.0)
 
-    def phase_chunked(carry, steps):
-        """Full-batch phase, split into python-unrolled sub-batches that
-        bound peak gather memory. NOT lax.map: a scanned
-        (while_loop + big-gather) body reproducibly crashes the v5e
-        worker (VERDICT r2 #1 — the round-2 chunked bounce path died
-        exactly there); a short static unroll of independent while_loops
-        compiles and runs fine."""
-        if r <= _PHASE_MAX_RAYS:
-            return _march_phase(accel, origins, dirs, settings, steps,
-                                t_end, with_features, jump_steps, carry)
-        n_sub = -(-r // _PHASE_MAX_RAYS)
-        bound = -(-r // n_sub)
+    if r <= compact_min:
+        # Small batches: no sorting, single-batch rounds.
+        for _, m, a_max, a_exit, b_exit in rounds:
+            state = _march_round(accel, origins, dirs, settings, setup,
+                                 state, with_features, m, a_max, t_cap,
+                                 a_exit, b_exit)
+        frozen = jnp.sum(state["alive"].astype(jnp.int32))
+        return state["trans"], state.get("acc"), frozen
+
+    def round_chunked(o, d, st, setup_, m, a_max, tc, a_exit, b_exit):
+        """Full-width round split into sub_rays-sized independent
+        while_loops (python unroll, NOT lax.map — see module notes)."""
+        if o.shape[0] <= sub_rays:
+            return _march_round(accel, o, d, settings, setup_, st,
+                                with_features, m, a_max, tc,
+                                a_exit, b_exit)
+        r0 = o.shape[0]
         outs = []
-        for s in range(0, r, bound):
-            e = min(s + bound, r)
-            sub = jax.tree.map(lambda x: x[s:e] if getattr(x, "ndim", 0)
-                               else x, carry)
-            outs.append(_march_phase(
-                accel, origins[s:e], dirs[s:e], settings, steps,
-                None if t_end is None else t_end[s:e],
-                with_features, jump_steps, sub))
+        for s in range(0, r0, sub_rays):
+            e = min(s + sub_rays, r0)
+            sl = lambda x, s=s, e=e: (
+                x[s:e] if getattr(x, "ndim", 0) and x.shape[0] == r0
+                else x)
+            outs.append(_march_round(
+                accel, o[s:e], d[s:e], settings,
+                jax.tree.map(sl, setup_), jax.tree.map(sl, st),
+                with_features, m, a_max,
+                None if tc is None else tc[s:e], a_exit, b_exit))
         return jax.tree.map(
             lambda *xs: (xs[0] if getattr(xs[0], "ndim", 0) == 0
                          else jnp.concatenate(xs)), *outs)
 
-    budget = max_steps
-    for i, (steps, frac) in enumerate(_COMPACT_PHASES):
-        steps = min(steps, budget) if i + 1 < len(_COMPACT_PHASES) \
-            else budget
-        if steps <= 0:
-            break
-        budget -= steps
-        if frac >= 1.0:
-            carry = phase_chunked(carry, steps)
+    # Round 0: full width (optionally pre-sorted when a sparse active
+    # mask was given — dead-last ordering lets sub-batches exit early).
+    frac0, m0, a0, ax0, bx0 = rounds[0]
+    presort = active is not None
+    if presort:
+        key0 = _sort_key(origins, dirs, state["t"], state["alive"], accel)
+        perm = jnp.argsort(key0)
+        origins_s, dirs_s = origins[perm], dirs[perm]
+        state = jax.tree.map(lambda x: x[perm], state)
+        setup_s = jax.tree.map(
+            lambda x: x[perm] if getattr(x, "ndim", 0) and
+            x.shape[0] == r else x, setup)
+        t_cap_s = None if t_cap is None else t_cap[perm]
+    else:
+        perm = None
+        origins_s, dirs_s, setup_s, t_cap_s = origins, dirs, setup, t_cap
+    state = round_chunked(origins_s, dirs_s, state, setup_s, m0, a0,
+                          t_cap_s, ax0, bx0)
+
+    # Later rounds: compact survivors to a shrinking static capacity.
+    acc_packed = _pack_acc(state["acc"]) if with_features else None
+    t_cur, trans_cur, alive_cur = (state["t"], state["trans"],
+                                   state["alive"])
+    for frac, m, a_max, a_exit, b_exit in rounds[1:]:
+        cap = max(-(-int(r * frac) // 256) * 256, 4096)
+        if cap >= r:
+            st = dict(t=t_cur, trans=trans_cur, alive=alive_cur,
+                      t_far=state["t_far"])
+            if with_features:
+                st["acc"] = _unpack_acc(jnp.zeros_like(acc_packed))
+            st = round_chunked(origins_s, dirs_s, st, setup_s, m, a_max,
+                               t_cap_s, a_exit, b_exit)
+            t_cur, trans_cur, alive_cur = st["t"], st["trans"], st["alive"]
+            if with_features:
+                acc_packed = acc_packed + _pack_acc(st["acc"])
             continue
-        rsub = -(-max(int(r * frac), 4096) // 256) * 256
-        rsub = min(rsub, _PHASE_MAX_RAYS)
-        if rsub >= r:
-            carry = _march_phase(accel, origins, dirs, settings, steps,
-                                 t_end, with_features, jump_steps, carry)
-            continue
-        sel = jnp.argsort(~carry["alive"])[:rsub]       # alive rays first
-        sub = jax.tree.map(lambda x: x[sel], dict(
-            t=carry["t"], trans=carry["trans"], alive=carry["alive"],
-            **({"acc": carry["acc"]} if with_features else {})))
-        sub["step"] = jnp.int32(0)
-        sub = _march_phase(
-            accel, origins[sel], dirs[sel], settings, steps,
-            None if t_end is None else t_end[sel],
-            with_features, jump_steps, sub)
-        carry["t"] = carry["t"].at[sel].set(sub["t"])
-        carry["trans"] = carry["trans"].at[sel].set(sub["trans"])
-        carry["alive"] = carry["alive"].at[sel].set(sub["alive"])
+        key = _sort_key(origins_s, dirs_s, t_cur, alive_cur, accel)
+        sel = jnp.argsort(key)[:cap]
+        o_c, d_c = origins_s[sel], dirs_s[sel]
+        setup_c = jax.tree.map(
+            lambda x: x[sel] if getattr(x, "ndim", 0) and
+            x.shape[0] == r else x, setup_s)
+        st = dict(t=t_cur[sel], trans=trans_cur[sel],
+                  alive=alive_cur[sel], t_far=state["t_far"][sel])
         if with_features:
-            carry["acc"] = {k: carry["acc"][k].at[sel].set(sub["acc"][k])
-                            for k in _ACC_KEYS}
-    return carry["trans"], carry.get("acc")
+            st["acc"] = {k: jnp.zeros((cap,)) for k in _ACC_KEYS}
+        st = round_chunked(o_c, d_c, st, setup_c, m, a_max,
+                           None if t_cap_s is None else t_cap_s[sel],
+                           a_exit, b_exit)
+        t_cur = t_cur.at[sel].set(st["t"])
+        trans_cur = trans_cur.at[sel].set(st["trans"])
+        alive_cur = alive_cur.at[sel].set(st["alive"])
+        if with_features:
+            acc_packed = acc_packed.at[sel].add(_pack_acc(st["acc"]))
+
+    frozen = jnp.sum(alive_cur.astype(jnp.int32))
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        trans_cur = trans_cur[inv]
+        if with_features:
+            acc_packed = acc_packed[inv]
+    acc = _unpack_acc(acc_packed) if with_features else None
+    return trans_cur, acc, frozen
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "max_steps",
-                                             "jump_steps"))
+                                             "jump_steps", "sub_rays",
+                                             "compact_min", "schedule"))
 def trace_grid(scene: GaussianScene, rays: Rays, settings: RenderSettings,
                accel: GridAccel, max_steps: int = 128,
-               jump_steps: int = 1, active=None):
+               jump_steps: int = 1, active=None,
+               sub_rays: int = _SUB_RAYS,
+               compact_min: int = _COMPACT_MIN_RAYS,
+               schedule=_DEFAULT_SCHEDULE):
     """Aggregate surface interaction via the grid (trace_dense-compatible).
 
     ``scene`` is accepted for interface parity with trace_dense but the
     march reads only the pre-packed ``accel`` tables (bounce color is SH
-    truncated to degree <= 1; see module docstring)."""
-    del scene
-    trans, acc = _march(accel, rays.origins, rays.directions, settings,
-                        max_steps, with_features=True,
-                        jump_steps=jump_steps, active=active)
+    truncated to degree <= 1) — this backend is INFERENCE-ONLY w.r.t.
+    scene parameters (see module docstring). ``jump_steps`` is accepted
+    for API compatibility and ignored (v3 jumps ride the block table).
+    The returned dict carries ``frozen_alive``: the number of rays still
+    alive when the march schedule ended (their accumulation is partial).
+    """
+    del scene, jump_steps
+    trans, acc, frozen = _march(
+        accel, rays.origins, rays.directions, settings, max_steps,
+        with_features=True, active=active, schedule=schedule,
+        sub_rays=sub_rays, compact_min=compact_min)
     alpha_acc = 1.0 - trans
     denom = jnp.maximum(alpha_acc, 1e-8)
     depth = acc["tsum"] / denom
@@ -634,20 +989,31 @@ def trace_grid(scene: GaussianScene, rays: Rays, settings: RenderSettings,
         alpha_acc=alpha_acc,
         trans=trans,
         hit=alpha_acc > settings.hit_opacity_threshold,
+        frozen_alive=frozen,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "max_steps",
-                                             "jump_steps"))
+                                             "jump_steps", "sub_rays",
+                                             "compact_min", "schedule",
+                                             "return_frozen"))
 def visibility_grid(scene: GaussianScene, accel: GridAccel, origins,
                     directions, t_end, settings: RenderSettings,
                     max_steps: int = 128, jump_steps: int = 1,
-                    active=None):
+                    active=None, sub_rays: int = _SUB_RAYS,
+                    compact_min: int = _COMPACT_MIN_RAYS,
+                    schedule=_DEFAULT_SCHEDULE,
+                    return_frozen: bool = False):
     """Shadow-ray transmittance via the grid (visibility_dense analog).
 
-    Rays masked off by ``active`` return transmittance 1."""
-    del scene
-    trans, _ = _march(accel, origins, directions, settings, max_steps,
-                      t_end=t_end, with_features=False,
-                      jump_steps=jump_steps, active=active)
+    Rays masked off by ``active`` return transmittance 1. With
+    ``return_frozen`` also returns the frozen-alive count (see
+    :func:`trace_grid`)."""
+    del scene, jump_steps
+    trans, _, frozen = _march(
+        accel, origins, directions, settings, max_steps, t_end=t_end,
+        with_features=False, active=active, schedule=schedule,
+        sub_rays=sub_rays, compact_min=compact_min)
+    if return_frozen:
+        return trans, frozen
     return trans

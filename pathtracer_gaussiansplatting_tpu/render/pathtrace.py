@@ -43,20 +43,40 @@ from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_norm
 
 
 
+def _accepts_active(fn) -> bool:
+    """True if ``fn`` takes an ``active=`` keyword. Signature inspection
+    (unwrapping jax.tree_util.Partial / functools.partial layers) — NOT
+    try/except TypeError around the traced call, which would swallow a
+    genuine TypeError raised inside the backend and silently re-trace it
+    without the mask (ADVICE r3)."""
+    import inspect
+
+    seen = 0
+    while hasattr(fn, "func") and seen < 8:   # Partial / partial layers
+        if "active" in (getattr(fn, "keywords", None) or {}):
+            return True
+        fn = fn.func
+        seen += 1
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+    return "active" in params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values())
+
+
 def _call_trace(trace_fn, scene, rays, settings, active):
     """Pass the active-ray mask to backends that accept it (the grid
     marcher pre-kills masked lanes and compacts them away)."""
-    try:
+    if _accepts_active(trace_fn):
         return trace_fn(scene, rays, settings, active=active)
-    except TypeError:
-        return trace_fn(scene, rays, settings)
+    return trace_fn(scene, rays, settings)
 
 
 def _call_vis(visibility_fn, origins, dirs, t_end, active):
-    try:
+    if _accepts_active(visibility_fn):
         return visibility_fn(origins, dirs, t_end, active=active)
-    except TypeError:
-        return visibility_fn(origins, dirs, t_end)
+    return visibility_fn(origins, dirs, t_end)
 
 def _nee(key, d, scene, tables, punctual, inter, view, settings,
          visibility_fn, use_nee=None, alive=None):

@@ -77,6 +77,10 @@ class SceneConfig:
     fov_y_deg: float = 45.0
     max_depth: int = 4
     sampling_method: str = "uniform"
+    # Traversal backend: 'auto' picks tiled+grid above the dense-scene
+    # threshold (pipeline.AUTO_DENSE_LIMIT); explicit values: 'dense',
+    # 'grid', 'tiled+grid', 'tiled+dense'.
+    backend: str = "auto"
 
 
 def _tup(x, n, default):
@@ -136,6 +140,7 @@ def load_scene_config(path: str) -> SceneConfig:
     cfg.fov_y_deg = s.get("fov", cfg.fov_y_deg)
     cfg.max_depth = s.get("max_depth", cfg.max_depth)
     cfg.sampling_method = s.get("sampling_method", cfg.sampling_method)
+    cfg.backend = s.get("backend", cfg.backend)
     for obj in data.get("objects", []):
         cfg.objects.append(ObjectConfig(
             model=obj.get("model", ""),

@@ -83,3 +83,91 @@ class TestGridTrace:
         assert np.isfinite(a).all()
         # same RNG stream + near-identical interactions -> close radiance
         assert np.abs(a - b).mean() < 2e-2
+
+
+class TestCompactionPath:
+    """The production-scale march path (sorted compaction rounds +
+    sub-batched while loops) against the single-batch path, with the
+    engagement thresholds shrunk so it runs at CPU test sizes
+    (VERDICT r3 weak #3: the >=32768-ray code was TPU-bench-only)."""
+
+    def test_compacted_trace_matches_single_batch(self, setup):
+        scene, accel, _, settings = setup
+        rng = np.random.default_rng(5)
+        r = 2048
+        o = jnp.asarray(rng.normal(0, 0.8, (r, 3)), jnp.float32)
+        d = rng.normal(size=(r, 3))
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.float32)
+        rays = Rays(o, d)
+        full_cov = ((1.0, 8, 24), (1.0, 16, 64), (1.0, 40, 160))
+        base = trace_grid(scene, rays, settings, accel, max_steps=64,
+                          schedule=full_cov)
+        compact = trace_grid(scene, rays, settings, accel, max_steps=64,
+                             compact_min=256, sub_rays=512,
+                             schedule=full_cov)
+        for k in ("alpha_acc", "albedo", "depth", "trans"):
+            np.testing.assert_allclose(np.asarray(compact[k]),
+                                       np.asarray(base[k]), atol=1e-5,
+                                       rtol=1e-5)
+
+    def test_compacted_trace_with_active_mask(self, setup):
+        scene, accel, _, settings = setup
+        rng = np.random.default_rng(7)
+        r = 1024
+        o = jnp.asarray(rng.normal(0, 0.8, (r, 3)), jnp.float32)
+        d = rng.normal(size=(r, 3))
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.float32)
+        active = jnp.asarray(rng.uniform(size=r) < 0.5)
+        rays = Rays(o, d)
+        full_cov = ((1.0, 8, 24), (1.0, 16, 64), (1.0, 40, 160))
+        base = trace_grid(scene, rays, settings, accel, max_steps=64,
+                          active=active, schedule=full_cov)
+        compact = trace_grid(scene, rays, settings, accel, max_steps=64,
+                             active=active, compact_min=128, sub_rays=256,
+                             schedule=full_cov)
+        np.testing.assert_allclose(np.asarray(compact["alpha_acc"]),
+                                   np.asarray(base["alpha_acc"]),
+                                   atol=1e-5)
+        # masked-off rays composite nothing
+        assert float(jnp.max(jnp.where(active, 0.0,
+                                       compact["alpha_acc"]))) == 0.0
+
+    def test_compacted_visibility_matches_single_batch(self, setup):
+        scene, accel, _, settings = setup
+        rng = np.random.default_rng(9)
+        r = 1024
+        o = jnp.asarray(rng.normal(0, 0.8, (r, 3)), jnp.float32)
+        d = rng.normal(size=(r, 3))
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.float32)
+        t_end = jnp.full((r,), 5.0)
+        full_cov = ((1.0, 8, 24), (1.0, 16, 64), (1.0, 40, 160))
+        base = visibility_grid(scene, accel, o, d, t_end, settings,
+                               max_steps=64, schedule=full_cov)
+        compact = visibility_grid(scene, accel, o, d, t_end, settings,
+                                  max_steps=64, compact_min=128,
+                                  sub_rays=256, schedule=full_cov)
+        np.testing.assert_allclose(np.asarray(compact), np.asarray(base),
+                                   atol=1e-5)
+
+    def test_frozen_rays_are_counted_not_silent(self, setup):
+        """Rays still alive when the schedule ends are counted in
+        frozen_alive (ADVICE r3 medium: no silent mid-march freezing)."""
+        scene, accel, _, settings = setup
+        rng = np.random.default_rng(11)
+        r = 512
+        # rays through the cloud center cross many occupied cells
+        o = jnp.asarray(rng.normal(0, 0.1, (r, 3)) + [0, 0, 3.0],
+                        jnp.float32)
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (r, 3))
+        rays = Rays(o, d)
+        # a 1-composite budget must freeze translucent rays mid-march
+        tiny = trace_grid(scene, rays, settings, accel, max_steps=1)
+        full = trace_grid(scene, rays, settings, accel, max_steps=128)
+        assert int(tiny["frozen_alive"]) > 0
+        assert int(full["frozen_alive"]) == 0
+        # frozen rays return PARTIAL accumulation (less than full)
+        assert float(jnp.sum(tiny["alpha_acc"])) < \
+            float(jnp.sum(full["alpha_acc"]))

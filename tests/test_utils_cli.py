@@ -133,3 +133,67 @@ class TestCli:
         assert os.path.exists(os.path.join(out, "points3d.ply"))
         stats = json.loads(r.stdout.strip().splitlines()[-1])
         assert stats["train"] == 1 and stats["test"] == 1  # i%4==0 split of 2
+
+
+class TestBackendSelection:
+    """--backend / config backend exposure (VERDICT r3 #6): the production
+    capture path (tiled primary + grid bounces) must be reachable from the
+    CLI and selected automatically above the dense threshold."""
+
+    def test_resolve_backend_auto(self):
+        from pathtracer_gaussiansplatting_tpu.data.capture import (
+            resolve_backend,
+        )
+        from pathtracer_gaussiansplatting_tpu.render.pipeline import (
+            AUTO_DENSE_LIMIT,
+        )
+
+        assert resolve_backend("auto", AUTO_DENSE_LIMIT + 1) == "tiled+grid"
+        assert resolve_backend("auto", 1000) == "dense"
+        assert resolve_backend("grid", 10 ** 9) == "grid"
+        assert resolve_backend("tiled+dense", 10) == "tiled+dense"
+
+    def test_config_backend_key(self, tmp_path):
+        import json as _json
+
+        from pathtracer_gaussiansplatting_tpu.utils.config import (
+            load_scene_config,
+        )
+
+        p = tmp_path / "s.json"
+        p.write_text(_json.dumps(
+            {"settings": {"backend": "tiled+grid"}, "objects": []}))
+        assert load_scene_config(str(p)).backend == "tiled+grid"
+        p.write_text(_json.dumps({"settings": {}, "objects": []}))
+        assert load_scene_config(str(p)).backend == "auto"
+
+    def test_capture_uses_tiled_path(self, tmp_path, monkeypatch):
+        """capture_scene_data with backend='tiled+grid' drives the fused
+        tile pose renderer (the path bench.py advertises)."""
+        import numpy as np
+
+        from pathtracer_gaussiansplatting_tpu.core.types import (
+            RenderSettings,
+        )
+        from pathtracer_gaussiansplatting_tpu.core.torus import TorusConfig
+        from pathtracer_gaussiansplatting_tpu.data import capture as cap
+        from utils import random_scene
+
+        calls = []
+        real = cap.make_tiled_pose_renderer
+
+        def spy(*a, **kw):
+            calls.append(kw.get("bounce_backend"))
+            return real(*a, **kw)
+
+        monkeypatch.setattr(cap, "make_tiled_pose_renderer", spy)
+        scene = random_scene(200, np.random.default_rng(0), spread=1.0)
+        settings = RenderSettings(max_depth=1)
+        out = cap.capture_scene_data(
+            scene, str(tmp_path / "ds"), settings, torus=TorusConfig(),
+            accumulation_steps=1, total_positions=1, width=16, height=16,
+            capture_pointcloud=False, backend="tiled+grid",
+            progress=None)
+        assert calls == ["grid"]
+        # pose 0 goes to the test split (i%4==0, engine.cpp:2763-2764)
+        assert len(out["test_frames"]) == 1
