@@ -161,11 +161,13 @@ def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
     # command loop, engine.cpp:2684-2707.
     # Array state enters as jit ARGUMENTS (not closure constants) — see
     # render/pipeline.py docstring.
-    @jax.jit
-    def pose_loop(scene_, tables_, trace_fn_, vis_fn_, packets, cam):
+    @functools.partial(jax.jit, static_argnames=("nsteps",))
+    def pose_loop(scene_, tables_, trace_fn_, vis_fn_, packets, cam,
+                  acc0, f0, nsteps):
         h, w = cam.height, cam.width
 
-        def body(f, acc):
+        def body(i, acc):
+            f = f0 + i
             fkey = rng_mod.frame_key(base_key, f)
             jitter = rng_mod.subpixel_jitter(base_key, h, w, f)
             cur = pathtrace_camera(scene_, cam, settings, fkey,
@@ -175,10 +177,25 @@ def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
                                    jitter=jitter)
             return accumulate(acc, cur, f)
 
-        return jax.lax.fori_loop(0, spp, body,
-                                 jnp.zeros((h * w, 3), jnp.float32))
+        return jax.lax.fori_loop(0, nsteps, body, acc0)
 
-    def render(c2w, width, height, fov_y_deg, stats_out=None):
+    def render(c2w, width, height, fov_y_deg, stats_out=None,
+               state_path=None, checkpoint_every=0,
+               stop_after_segments=None):
+        """Render one converged pose; optionally checkpoint mid-pose.
+
+        With ``state_path`` + ``checkpoint_every`` > 0, the accumulation
+        buffer and completed-sample counter are persisted every
+        ``checkpoint_every`` samples (SURVEY §5's accumulation+RNG
+        checkpoint plan): a crashed multi-hour pose resumes
+        BIT-IDENTICALLY because sample f's RNG is keyed on the absolute
+        frame index (core/rng.frame_key) and the accumulation is a pure
+        fold over f. ``stop_after_segments`` (tests) simulates a crash.
+        """
+        from pathtracer_gaussiansplatting_tpu.utils.checkpoint import (
+            load_render_state, save_render_state,
+        )
+
         cam = Camera(c2w=c2w, fov_y_deg=fov_y_deg, width=width,
                      height=height)
         packets = prepare_tiles(scene, cam, settings, config)
@@ -189,8 +206,29 @@ def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
             for k, v in render_grid_stats.items():
                 if isinstance(v, (int, float)):
                     stats_out["grid_" + k] = float(v)
-        img = pose_loop(scene, tables, trace_fn, vis_fn, packets, cam)
-        return np.asarray(img).reshape(height, width, 3)
+        acc = jnp.zeros((height * width, 3), jnp.float32)
+        f0 = 0
+        if state_path and os.path.exists(state_path):
+            state = load_render_state(state_path)
+            acc = state["accumulation"]
+            f0 = state["frames_done"]
+        seg = checkpoint_every if (state_path and checkpoint_every) \
+            else spp
+        done_segments = 0
+        while f0 < spp:
+            n = min(seg, spp - f0)
+            acc = pose_loop(scene, tables, trace_fn, vis_fn, packets,
+                            cam, acc, f0, n)
+            f0 += n
+            if state_path and f0 < spp:
+                save_render_state(state_path, acc, f0, base_key)
+            done_segments += 1
+            if stop_after_segments and done_segments >= stop_after_segments \
+                    and f0 < spp:
+                return None
+        if state_path and os.path.exists(state_path):
+            os.remove(state_path)
+        return np.asarray(acc).reshape(height, width, 3)
 
     return render
 
@@ -211,6 +249,7 @@ def capture_scene_data(scene, out_dir: str,
                        num_rays: Optional[int] = None,
                        chunk: int = 65536,
                        resume: bool = True,
+                       spp_checkpoint: int = 128,
                        backend: str = "auto",
                        debug_checks: bool = False,
                        progress: Optional[Callable[[str], None]] = print):
@@ -265,8 +304,12 @@ def capture_scene_data(scene, out_dir: str,
             if not (journal and journal.is_done(i)
                     and os.path.exists(img_path)):
                 if tiled_images:
-                    img = pose_render(c2w, width, height, fov_y_deg,
-                                      stats_out=bin_stats)
+                    img = pose_render(
+                        c2w, width, height, fov_y_deg,
+                        stats_out=bin_stats,
+                        state_path=os.path.join(out_dir,
+                                                f".pose_{i}.npz"),
+                        checkpoint_every=spp_checkpoint)
                 else:
                     img = render_pose(render_fn, c2w, width, height,
                                       fov_y_deg, chunk)

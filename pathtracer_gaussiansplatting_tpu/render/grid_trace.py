@@ -714,7 +714,7 @@ def _phase_b(accel: GridAccel, origins, dirs, settings: RenderSettings,
 def _march_round(accel, origins, dirs, settings, setup, state,
                  with_features, m_slots, a_max, t_cap,
                  a_exit: float = 0.0, b_exit: float = 0.0,
-                 b_bytes: float = 1.2e9):
+                 b_bytes: float = 0.6e9):
     """One A+B round over a (sub-)batch, mutating the state dict.
 
     Phase B is flat over (ray, slot) pairs; its transient gather output
@@ -731,7 +731,7 @@ def _march_round(accel, origins, dirs, settings, setup, state,
     r = origins.shape[0]
     table = accel.packet if with_features else accel.geom
     b_sub = int(b_bytes / max(m_slots * table.shape[1] * 4, 1))
-    b_sub = max(32768, -(-b_sub // 256) * 256)
+    b_sub = max(4096, -(-b_sub // 256) * 256)
     acc0 = state.get("acc")
     if r <= b_sub:
         trans, acc, alive_b = _phase_b(

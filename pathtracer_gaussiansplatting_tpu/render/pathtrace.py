@@ -305,6 +305,15 @@ def pathtrace(scene: GaussianScene, rays: Rays,
                                    throughput)
             alive = alive & survive
 
+        # Serialize bounce stages: the NEE visibility march and the next
+        # bounce trace are otherwise independent subgraphs, and XLA
+        # overlaps their multi-GB gather transients into an HBM OOM at
+        # 1080p (each grid march bounds its own transients, but only
+        # within the march).
+        (radiance, throughput, origins, dirs, alive, last_pdf) = \
+            jax.lax.optimization_barrier(
+                (radiance, throughput, origins, dirs, alive, last_pdf))
+
     return jnp.minimum(radiance, settings.firefly_clamp)
 
 

@@ -197,3 +197,44 @@ class TestBackendSelection:
         assert calls == ["grid"]
         # pose 0 goes to the test split (i%4==0, engine.cpp:2763-2764)
         assert len(out["test_frames"]) == 1
+
+
+class TestMidPoseCheckpoint:
+    """Mid-pose accumulation checkpointing (VERDICT r3 #8 / SURVEY §5):
+    a pose interrupted mid-accumulation resumes BIT-identically."""
+
+    def test_interrupt_and_resume_bit_identical(self, tmp_path):
+        import numpy as np
+
+        from pathtracer_gaussiansplatting_tpu.core.camera import (
+            toroidal_c2w,
+        )
+        from pathtracer_gaussiansplatting_tpu.core.types import (
+            RenderSettings,
+        )
+        from pathtracer_gaussiansplatting_tpu.data.capture import (
+            make_tiled_pose_renderer,
+        )
+        from utils import random_scene
+
+        scene = random_scene(150, np.random.default_rng(3), spread=1.0)
+        settings = RenderSettings(max_depth=1)
+        render = make_tiled_pose_renderer(scene, settings, None, spp=6)
+        c2w = toroidal_c2w(30.0, 10.0, 4.0, 0.5)
+        ref_img = render(c2w, 16, 16, 45.0)
+
+        state = str(tmp_path / "pose.npz")
+        # "crash" after the first 2-sample segment
+        out = render(c2w, 16, 16, 45.0, state_path=state,
+                     checkpoint_every=2, stop_after_segments=1)
+        assert out is None and os.path.exists(state)
+        from pathtracer_gaussiansplatting_tpu.utils.checkpoint import (
+            load_render_state,
+        )
+
+        assert load_render_state(state)["frames_done"] == 2
+        # resume -> completes, state cleaned up, bitwise-equal image
+        resumed = render(c2w, 16, 16, 45.0, state_path=state,
+                         checkpoint_every=2)
+        assert not os.path.exists(state)
+        np.testing.assert_array_equal(resumed, ref_img)
