@@ -146,6 +146,44 @@ def main():
     # camera rays that completed the full bounce chain per second
     pathtraced_rays_per_s = pt_w * pt_h / dt_pt
 
+    # --- glass at reference depth (raygen_camera.rgen:47-64): max_depth
+    #     12 with the adaptive opaque cap at 4 — only glass-first paths
+    #     run past depth 4, so the extra marches ride at low active
+    #     fractions through the marcher's sorted compaction ---
+    pt12_settings = RenderSettings(max_depth=12, opaque_depth=4,
+                                   ambient=(0.05, 0.05, 0.06, 1.0))
+    pt12_trace, pt12_vis = make_trace_backend(pt_scene, pt12_settings,
+                                              "grid")
+    pt12_fn = jax.jit(lambda s, p, tb, tf, vf, k: pathtrace_camera(
+        s, pt_cam, pt12_settings, k, packets=p, tables=tb, trace_fn=tf,
+        visibility_fn=vf, config=pt_cfg))
+    fence(pt12_fn(pt_scene, pt_pk, pt_tables, pt12_trace, pt12_vis, key))
+    t0 = time.perf_counter()
+    img12 = pt12_fn(pt_scene, pt_pk, pt_tables, pt12_trace, pt12_vis,
+                    jax.random.fold_in(key, 1))
+    fence(img12)
+    dt_pt12 = time.perf_counter() - t0
+
+    # --- one converged capture pose (engine.cpp:2684-2707 shape): the
+    #     fori_loop-over-spp jit at the capture resolution. Default
+    #     measures GSPT_BENCH_POSE_SPP samples in ONE pose_loop dispatch
+    #     and scales to 512 (the loop is linear in spp; a full-512 run
+    #     is recorded in BASELINE.md) ---
+    from pathtracer_gaussiansplatting_tpu.core.camera import toroidal_c2w
+    from pathtracer_gaussiansplatting_tpu.data.capture import (
+        make_tiled_pose_renderer,
+    )
+
+    pose_spp = int(os.environ.get("GSPT_BENCH_POSE_SPP", 64))
+    pose_render = make_tiled_pose_renderer(
+        pt_scene, pt_settings, None, spp=pose_spp, bounce_backend="grid")
+    c2w_pose = toroidal_c2w(123.0, 20.0, 2.5, 0.3)
+    pose_render(c2w_pose, 800, 800, 45.0)  # compile
+    t0 = time.perf_counter()
+    pose_render(c2w_pose, 800, 800, 45.0)
+    dt_pose = time.perf_counter() - t0
+    pose_s_512 = dt_pose * 512.0 / pose_spp
+
     # --- roofline: achieved FLOP/s + HBM traffic of the tile forward ---
     # Work is known exactly from the binned pairs: sum(count) gaussians
     # per tile x 256 pixels each; ~85 f32 VPU flops per (pixel, gaussian)
@@ -198,6 +236,13 @@ def main():
         "pathtrace_sample_ms": round(dt_pt * 1e3, 1),
         "pathtrace_config": f"{pt_n} gaussians, {pt_w}x{pt_h}, "
                             f"depth {pt_depth}, grid backend",
+        "pathtrace12_sample_ms": round(dt_pt12 * 1e3, 1),
+        "pathtrace12_config": "max_depth 12, opaque_depth 4 "
+                              "(raygen_camera.rgen:47-64 adaptive)",
+        "pose_s": round(pose_s_512, 1),
+        "pose_config": f"800x800 depth-{pt_depth} capture pose, 512 spp "
+                       f"(measured {pose_spp} spp in one fori_loop jit, "
+                       f"scaled linearly)",
         "mfu": round(mfu, 4),
         "achieved_tflops": round(achieved_flops / 1e12, 2),
         "hbm_gbps": round(hbm_gbps, 1),

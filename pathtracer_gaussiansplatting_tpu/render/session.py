@@ -74,6 +74,10 @@ class InteractiveSession:
         self.sampling = SamplingMethod.UNIFORM
         self.frame = 0                   # accumulated samples at this pose
         self._accum: Optional[np.ndarray] = None
+        # live hit buffer for IMP_COL/IMP_HIT feedback (sampling.cpp:389)
+        self._prev_uv: Optional[np.ndarray] = None
+        self._prev_colors: Optional[np.ndarray] = None
+        self._prev_flags: Optional[np.ndarray] = None
         self._packets = None
         self._key = jax.random.PRNGKey(seed)
         self._tables = build_light_tables(scene, punctual)
@@ -195,12 +199,22 @@ class InteractiveSession:
         )
 
         n = min(self.torus.num_rays, 65536)
-        uv = generate_samples(self.sampling, n)
+        # Live importance feedback (sampling.cpp:366-434 via the hotkey
+        # path engine.cpp:766-802): IMP_COL / IMP_HIT re-sample from the
+        # PREVIOUS pass's hit buffer — the reference's only GPU->CPU->GPU
+        # loop. The first pass has no data yet and falls back to RANDOM
+        # (the reference's buffer is likewise empty until one pass ran).
+        uv = generate_samples(self.sampling, n,
+                              prev_uv=self._prev_uv,
+                              prev_colors=self._prev_colors,
+                              prev_flags=self._prev_flags)
         rays = torus_rays(jnp.asarray(uv), self.torus)
         inter = self._trace_fn(self.scene, rays, self.settings)
+        hit = inter["alpha_acc"] > self.settings.hit_opacity_threshold
+        self._prev_uv = np.asarray(uv)
+        self._prev_colors = np.asarray(inter["albedo"])
+        self._prev_flags = np.asarray(hit).astype(np.float32)
         img = render_point_cloud(
-            inter["position"], inter["albedo"],
-            inter["alpha_acc"] > self.settings.hit_opacity_threshold,
-            self.camera)
+            inter["position"], inter["albedo"], hit, self.camera)
         self.frame += 1
         return np.asarray(img)

@@ -64,3 +64,35 @@ class TestSession:
         assert img.shape == (32, 48, 3)
         sess.key("p")
         assert sess.render_mode == "camera"
+
+
+class TestImportanceFeedback:
+    """Session IMP hotkeys re-sample from the LIVE hit buffer
+    (sampling.cpp:366-434 via engine.cpp:766-802) instead of silently
+    degrading to RANDOM (VERDICT r3 #10)."""
+
+    def test_imp_hit_uses_previous_pass(self):
+        from pathtracer_gaussiansplatting_tpu.sampling.strategies import (
+            SamplingMethod, generate_samples,
+        )
+
+        scene = random_scene(200, np.random.default_rng(5), spread=1.0)
+        s = InteractiveSession(
+            scene, RenderSettings(max_depth=1), width=16, height=16,
+            backend="dense")
+        s.key("p")                             # pointcloud mode
+        s.key("7")                             # IMP_HIT
+        assert s.sampling == SamplingMethod.IMP_HIT
+        s.step()                               # pass 1: no data -> random
+        assert s._prev_uv is not None and s._prev_flags is not None
+        uv1 = s._prev_uv.copy()
+        flags1 = s._prev_flags.copy()
+        s.step()                               # pass 2: feedback resample
+        # the second pass's samples are exactly the importance resample
+        # of the first pass's hit buffer (deterministic seed)
+        n = len(uv1)
+        expect = generate_samples(SamplingMethod.IMP_HIT, n,
+                                  prev_uv=uv1, prev_flags=flags1)
+        np.testing.assert_allclose(s._prev_uv, expect, atol=1e-6)
+        # and they differ from the bootstrap (feedback actually engaged)
+        assert np.abs(s._prev_uv - uv1).max() > 1e-3
