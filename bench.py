@@ -152,14 +152,21 @@ def main():
     #     fractions through the marcher's sorted compaction ---
     pt12_settings = RenderSettings(max_depth=12, opaque_depth=4,
                                    ambient=(0.05, 0.05, 0.06, 1.0))
+    pt12_w, pt12_h = 960, 540   # 23 marches; half-res keeps each march a
+    #                             single sub-batch (compile-time bound)
+    pt12_cam = Camera(c2w=pt_cam.c2w, fov_y_deg=pt_cam.fov_y_deg,
+                      width=pt12_w, height=pt12_h)
     pt12_trace, pt12_vis = make_trace_backend(pt_scene, pt12_settings,
                                               "grid")
+    pt12_pk = prepare_tiles(pt_scene, pt12_cam, pt12_settings, pt_cfg)
+    fence(pt12_pk)
     pt12_fn = jax.jit(lambda s, p, tb, tf, vf, k: pathtrace_camera(
-        s, pt_cam, pt12_settings, k, packets=p, tables=tb, trace_fn=tf,
+        s, pt12_cam, pt12_settings, k, packets=p, tables=tb, trace_fn=tf,
         visibility_fn=vf, config=pt_cfg))
-    fence(pt12_fn(pt_scene, pt_pk, pt_tables, pt12_trace, pt12_vis, key))
+    fence(pt12_fn(pt_scene, pt12_pk, pt_tables, pt12_trace, pt12_vis,
+                  key))
     t0 = time.perf_counter()
-    img12 = pt12_fn(pt_scene, pt_pk, pt_tables, pt12_trace, pt12_vis,
+    img12 = pt12_fn(pt_scene, pt12_pk, pt_tables, pt12_trace, pt12_vis,
                     jax.random.fold_in(key, 1))
     fence(img12)
     dt_pt12 = time.perf_counter() - t0
@@ -174,7 +181,7 @@ def main():
         make_tiled_pose_renderer,
     )
 
-    pose_spp = int(os.environ.get("GSPT_BENCH_POSE_SPP", 64))
+    pose_spp = int(os.environ.get("GSPT_BENCH_POSE_SPP", 16))
     pose_render = make_tiled_pose_renderer(
         pt_scene, pt_settings, None, spp=pose_spp, bounce_backend="grid")
     c2w_pose = toroidal_c2w(123.0, 20.0, 2.5, 0.3)
@@ -237,8 +244,9 @@ def main():
         "pathtrace_config": f"{pt_n} gaussians, {pt_w}x{pt_h}, "
                             f"depth {pt_depth}, grid backend",
         "pathtrace12_sample_ms": round(dt_pt12 * 1e3, 1),
-        "pathtrace12_config": "max_depth 12, opaque_depth 4 "
-                              "(raygen_camera.rgen:47-64 adaptive)",
+        "pathtrace12_config": f"{pt12_w}x{pt12_h}, max_depth 12, "
+                              "opaque_depth 4 (raygen_camera.rgen:47-64 "
+                              "adaptive; glass sphere in scene)",
         "pose_s": round(pose_s_512, 1),
         "pose_config": f"800x800 depth-{pt_depth} capture pose, 512 spp "
                        f"(measured {pose_spp} spp in one fori_loop jit, "

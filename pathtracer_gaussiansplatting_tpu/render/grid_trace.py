@@ -456,60 +456,49 @@ def _phase_a(accel: GridAccel, origins, dirs, setup, t, alive, t_far,
     Stops early once fewer than ``exit_frac`` of the batch is still
     probing (stragglers pause and resume in a later, compacted round —
     the while loop otherwise runs every lane to the BATCH-max iteration
-    count, ~5x the mean on the flagship scene). All vector math is
-    per-component (R,) SoA: an (R, 3) elementwise op occupies 3/128
-    lanes of every VPU register tile, and the probe body runs ~20 of
-    them per iteration. Returns (slots (R, M) i32, t_ent (R, M),
-    t_exit (R, M), count (R,), t_new (R,), paused (R,) [not dead,
-    traversal unfinished or slots full]).
+    count, ~5x the mean on the flagship scene). Returns (slots (R, M)
+    i32, t_ent (R, M), t_exit (R, M), count (R,), t_new (R,),
+    paused (R,) [not dead, traversal unfinished or slots full]).
     """
     r = origins.shape[0]
+    dims = accel.dims
     bdims = accel.block_dims
-    cell_size = setup["cell_size"]
-    min_delta = setup["min_delta"]
+    cell_size, inv_d = setup["cell_size"], setup["inv_d"]
+    step_pos, min_delta = setup["step_pos"], setup["min_delta"]
     eps = 1e-3 * min_delta
     probe = 0.25 * eps
+    lo = accel.lo[None]
+    dims_f = jnp.asarray(dims, jnp.float32)
     n_blocks = accel.btab.shape[0]
+    block_edge = cell_size * 4.0
     jump_unit = accel.jump_unit
     miota = jnp.arange(m_slots)
 
-    ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
-    dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
-    ix = setup["inv_d"][:, 0]
-    iy = setup["inv_d"][:, 1]
-    iz = setup["inv_d"][:, 2]
-    spx = setup["step_pos"][:, 0]
-    spy = setup["step_pos"][:, 1]
-    spz = setup["step_pos"][:, 2]
-    lox, loy, loz = accel.lo[0], accel.lo[1], accel.lo[2]
-    csx, csy, csz = cell_size[0], cell_size[1], cell_size[2]
-    rcx, rcy, rcz = 1.0 / csx, 1.0 / csy, 1.0 / csz
-    gx = float(accel.dims[0] - 1)
-    gy = float(accel.dims[1] - 1)
-    gz = float(accel.dims[2] - 1)
-    bex, bey, bez = 4.0 * csx, 4.0 * csy, 4.0 * csz
-
     def cell_of(t_):
-        tp = t_ + probe
-        cx = jnp.clip(jnp.floor((ox + tp * dx - lox) * rcx), 0.0, gx)
-        cy = jnp.clip(jnp.floor((oy + tp * dy - loy) * rcy), 0.0, gy)
-        cz = jnp.clip(jnp.floor((oz + tp * dz - loz) * rcz), 0.0, gz)
-        return cx, cy, cz
+        p = origins + (t_ + probe)[:, None] * dirs
+        cell = jnp.clip(jnp.floor((p - lo) / cell_size[None]),
+                        0, dims_f - 1.0)
+        return cell
 
-    def cell_exit(cx, cy, cz, t_):
-        tx_ = (lox + (cx + spx) * csx - ox) * ix
-        ty_ = (loy + (cy + spy) * csy - oy) * iy
-        tz_ = (loz + (cz + spz) * csz - oz) * iz
-        return jnp.maximum(jnp.minimum(jnp.minimum(tx_, ty_), tz_),
-                           t_ + eps)
+    def cell_exit(cell, t_):
+        bnd = lo + (cell + step_pos) * cell_size[None]
+        t_exit = jnp.min((bnd - origins) * inv_d, -1)
+        return jnp.maximum(t_exit, t_ + eps)
+
+    def block_exit(cell, t_):
+        bcell = jnp.floor(cell / 4.0)
+        bnd = lo + (bcell + step_pos) * block_edge[None]
+        t_exit = jnp.min((bnd - origins) * inv_d, -1)
+        return jnp.maximum(t_exit, t_ + eps)
 
     def body(carry):
         t_, count, slots, t_ent, t_exd, it = carry
         probing = (t_ < t_far) & (count < m_slots)
-        cx, cy, cz = cell_of(t_)
-        bx = cx.astype(jnp.int32) >> 2
-        by = cy.astype(jnp.int32) >> 2
-        bz = cz.astype(jnp.int32) >> 2
+        cell = cell_of(t_)
+        icell = cell.astype(jnp.int32)
+        bx = icell[:, 0] >> 2
+        by = icell[:, 1] >> 2
+        bz = icell[:, 2] >> 2
         blin = jnp.clip((bz * bdims[1] + by) * bdims[0] + bx,
                         0, n_blocks - 1)
         row = accel.btab[jnp.where(probing, blin, 0)]       # (R, 4)
@@ -519,17 +508,8 @@ def _phase_a(accel: GridAccel, origins, dirs, setup, t, alive, t_far,
         mhi = row[:, 3].astype(jnp.uint32)
         occ_block = info >= 0
 
-        # Block exit t (per-axis scalars).
-        bxf = bx.astype(jnp.float32)
-        byf = by.astype(jnp.float32)
-        bzf = bz.astype(jnp.float32)
-        tbx = (lox + (bxf + spx) * bex - ox) * ix
-        tby = (loy + (byf + spy) * bey - oy) * iy
-        tbz = (loz + (bzf + spz) * bez - oz) * iz
-        t_bex = jnp.maximum(
-            jnp.minimum(jnp.minimum(tbx, tby), tbz), t_ + eps)
-
         # Empty block: euclidean jump (at least to the block exit).
+        t_bex = block_exit(cell, t_)
         jump_w = (-(info + 1)).astype(jnp.float32) * jump_unit
         t_jump = jnp.maximum(t_bex, t_ + jump_w)
 
@@ -539,22 +519,18 @@ def _phase_a(accel: GridAccel, origins, dirs, setup, t, alive, t_far,
         # cross the whole block in this ONE probe instead of stepping
         # cell by cell; rays that hit it start stepping at the box entry.
         b = jnp.maximum(info, 0)
-
-        def axis_range(bmin_b, bmax_b, bf, o_, i_, lo_, cs_, be_):
-            blo = lo_ + bf * be_ + bmin_b.astype(jnp.float32) * cs_
-            bhi = lo_ + bf * be_ + (bmax_b.astype(jnp.float32) + 1.0) * cs_
-            ta = (blo - o_) * i_
-            tb = (bhi - o_) * i_
-            return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
-
-        ax0, ax1 = axis_range(b & 3, (b >> 2) & 3, bxf, ox, ix, lox,
-                              csx, bex)
-        ay0, ay1 = axis_range((b >> 4) & 3, (b >> 6) & 3, byf, oy, iy,
-                              loy, csy, bey)
-        az0, az1 = axis_range((b >> 8) & 3, (b >> 10) & 3, bzf, oz, iz,
-                              loz, csz, bez)
-        t_in = jnp.maximum(jnp.maximum(ax0, ay0), az0)
-        t_out = jnp.minimum(jnp.minimum(ax1, ay1), az1)
+        bmin = jnp.stack([b & 3, (b >> 4) & 3, (b >> 8) & 3],
+                         -1).astype(jnp.float32)
+        bmax = jnp.stack([(b >> 2) & 3, (b >> 6) & 3, (b >> 10) & 3],
+                         -1).astype(jnp.float32)
+        borig_w = lo + jnp.stack([bx, by, bz], -1).astype(jnp.float32) \
+            * block_edge[None]
+        box_lo = borig_w + bmin * cell_size[None]
+        box_hi = borig_w + (bmax + 1.0) * cell_size[None]
+        tb0 = (box_lo - origins) * inv_d
+        tb1 = (box_hi - origins) * inv_d
+        t_in = jnp.max(jnp.minimum(tb0, tb1), -1)
+        t_out = jnp.min(jnp.maximum(tb0, tb1), -1)
         enter = jnp.maximum(t_, t_in)
         box_hit = occ_block & (t_out > enter)
 
@@ -564,16 +540,15 @@ def _phase_a(accel: GridAccel, origins, dirs, setup, t, alive, t_far,
         ck = count
         sl, te, tx = slots, t_ent, t_exd
         for _ in range(4):
-            ckx, cky, ckz = cell_of(tk)
-            ikx = ckx.astype(jnp.int32)
-            iky = cky.astype(jnp.int32)
-            ikz = ckz.astype(jnp.int32)
-            same_block = ((ikx >> 2) == bx) & ((iky >> 2) == by) \
-                & ((ikz >> 2) == bz)
+            cellk = cell_of(tk)
+            icellk = cellk.astype(jnp.int32)
+            same_block = ((icellk[:, 0] >> 2) == bx) \
+                & ((icellk[:, 1] >> 2) == by) \
+                & ((icellk[:, 2] >> 2) == bz)
             stepk = probing & box_hit & same_block & (tk < t_far) \
                 & (tk < t_out)
-            rank = ((ikx & 3) + 4 * (iky & 3)
-                    + 16 * (ikz & 3)).astype(jnp.uint32)
+            rank = ((icellk[:, 0] & 3) + 4 * (icellk[:, 1] & 3)
+                    + 16 * (icellk[:, 2] & 3)).astype(jnp.uint32)
             hi_word = rank >= 32
             sh = jnp.where(hi_word, rank - 32, rank)
             word = jnp.where(hi_word, mhi, mlo)
@@ -584,7 +559,7 @@ def _phase_a(accel: GridAccel, origins, dirs, setup, t, alive, t_far,
             nb = (jax.lax.population_count(below_lo)
                   + jax.lax.population_count(below_hi)).astype(jnp.int32)
             slot = base + nb
-            tex = cell_exit(ckx, cky, ckz, tk)
+            tex = cell_exit(cellk, tk)
             can_take = ck < m_slots
             take = stepk & bit & can_take
             put = take[:, None] & (ck[:, None] == miota[None])
