@@ -126,7 +126,13 @@ def main():
                     fov_y_deg=60.0, width=pt_w, height=pt_h)
     pt_settings = RenderSettings(max_depth=pt_depth,
                                  ambient=(0.05, 0.05, 0.06, 1.0))
-    pt_trace, pt_vis = make_trace_backend(pt_scene, pt_settings, "grid")
+    from pathtracer_gaussiansplatting_tpu.render.grid_trace import (
+        build_grid_accel,
+    )
+
+    pt_accel = build_grid_accel(pt_scene)
+    pt_trace, pt_vis = make_trace_backend(pt_scene, pt_settings, "grid",
+                                          accel=pt_accel)
     pt_tables = build_light_tables(pt_scene)
     pt_cfg = BinningConfig()
     pt_pk = prepare_tiles(pt_scene, pt_cam, pt_settings, pt_cfg)
@@ -150,67 +156,6 @@ def main():
     #     12 with the adaptive opaque cap at 4 — only glass-first paths
     #     run past depth 4, so the extra marches ride at low active
     #     fractions through the marcher's sorted compaction ---
-    def _opt(stage_fn, fallback):
-        # Optional hardware stages degrade to a failure marker instead of
-        # killing the bench (a TPU worker fault mid-stage would otherwise
-        # drop ALL results; the core numbers above are already host-side
-        # floats).
-        try:
-            return stage_fn()
-        except Exception as e:                      # noqa: BLE001
-            print(f"[bench] optional stage failed: {e!r}",
-                  file=sys.stderr)
-            return fallback
-
-    pt12_settings = RenderSettings(max_depth=12, opaque_depth=4,
-                                   ambient=(0.05, 0.05, 0.06, 1.0))
-    pt12_w, pt12_h = 960, 540   # 23 marches; half-res keeps each march a
-    #                             single sub-batch (compile-time bound)
-    pt12_cam = Camera(c2w=pt_cam.c2w, fov_y_deg=pt_cam.fov_y_deg,
-                      width=pt12_w, height=pt12_h)
-    def _stage_pt12():
-        pt12_trace, pt12_vis = make_trace_backend(pt_scene,
-                                                  pt12_settings, "grid")
-        pt12_pk = prepare_tiles(pt_scene, pt12_cam, pt12_settings,
-                                pt_cfg)
-        fence(pt12_pk)
-        pt12_fn = jax.jit(lambda s, p, tb, tf, vf, k: pathtrace_camera(
-            s, pt12_cam, pt12_settings, k, packets=p, tables=tb,
-            trace_fn=tf, visibility_fn=vf, config=pt_cfg))
-        fence(pt12_fn(pt_scene, pt12_pk, pt_tables, pt12_trace,
-                      pt12_vis, key))
-        t0 = time.perf_counter()
-        img12 = pt12_fn(pt_scene, pt12_pk, pt_tables, pt12_trace,
-                        pt12_vis, jax.random.fold_in(key, 1))
-        fence(img12)
-        return time.perf_counter() - t0
-
-    dt_pt12 = _opt(_stage_pt12, -1.0)
-
-    # --- one converged capture pose (engine.cpp:2684-2707 shape): the
-    #     fori_loop-over-spp jit at the capture resolution. Default
-    #     measures GSPT_BENCH_POSE_SPP samples in ONE pose_loop dispatch
-    #     and scales to 512 (the loop is linear in spp; a full-512 run
-    #     is recorded in BASELINE.md) ---
-    from pathtracer_gaussiansplatting_tpu.core.camera import toroidal_c2w
-    from pathtracer_gaussiansplatting_tpu.data.capture import (
-        make_tiled_pose_renderer,
-    )
-
-    pose_spp = int(os.environ.get("GSPT_BENCH_POSE_SPP", 16))
-
-    def _stage_pose():
-        pose_render = make_tiled_pose_renderer(
-            pt_scene, pt_settings, None, spp=pose_spp,
-            bounce_backend="grid")
-        c2w_pose = toroidal_c2w(123.0, 20.0, 2.5, 0.3)
-        pose_render(c2w_pose, 800, 800, 45.0)  # compile
-        t0 = time.perf_counter()
-        pose_render(c2w_pose, 800, 800, 45.0)
-        return (time.perf_counter() - t0) * 512.0 / pose_spp
-
-    pose_s_512 = _opt(_stage_pose, -1.0)
-
     # --- roofline: achieved FLOP/s + HBM traffic of the tile forward ---
     # Work is known exactly from the binned pairs: sum(count) gaussians
     # per tile x 256 pixels each; ~85 f32 VPU flops per (pixel, gaussian)
@@ -248,6 +193,70 @@ def main():
     dt_dense = (time.perf_counter() - t0) / max(2, iters // 3)
     rays_dense_at_n = (sub.num_rays / dt_dense) * (n_base / n)
     vs_baseline = rays_amortized / rays_dense_at_n
+
+    def _opt(stage_fn, fallback):
+        # Optional hardware stages degrade to a failure marker instead of
+        # killing the bench (a TPU worker fault mid-stage would otherwise
+        # drop ALL results; the core numbers above are already host-side
+        # floats).
+        try:
+            return stage_fn()
+        except Exception as e:                      # noqa: BLE001
+            print(f"[bench] optional stage failed: {e!r}",
+                  file=sys.stderr)
+            return fallback
+
+    pt12_settings = RenderSettings(max_depth=12, opaque_depth=4,
+                                   ambient=(0.05, 0.05, 0.06, 1.0))
+    pt12_w, pt12_h = 480, 270   # 23 marches; quarter-res keeps the jit
+    #                             near the (working) depth-4 1080p program
+    #                             size — larger depth-12 programs faulted
+    #                             the v5e worker
+    pt12_cam = Camera(c2w=pt_cam.c2w, fov_y_deg=pt_cam.fov_y_deg,
+                      width=pt12_w, height=pt12_h)
+    def _stage_pt12():
+        pt12_trace, pt12_vis = make_trace_backend(
+            pt_scene, pt12_settings, "grid", accel=pt_accel)
+        pt12_pk = prepare_tiles(pt_scene, pt12_cam, pt12_settings,
+                                pt_cfg)
+        fence(pt12_pk)
+        pt12_fn = jax.jit(lambda s, p, tb, tf, vf, k: pathtrace_camera(
+            s, pt12_cam, pt12_settings, k, packets=p, tables=tb,
+            trace_fn=tf, visibility_fn=vf, config=pt_cfg))
+        fence(pt12_fn(pt_scene, pt12_pk, pt_tables, pt12_trace,
+                      pt12_vis, key))
+        t0 = time.perf_counter()
+        img12 = pt12_fn(pt_scene, pt12_pk, pt_tables, pt12_trace,
+                        pt12_vis, jax.random.fold_in(key, 1))
+        fence(img12)
+        return time.perf_counter() - t0
+
+    dt_pt12 = _opt(_stage_pt12, -1.0)
+
+    # --- one converged capture pose (engine.cpp:2684-2707 shape): the
+    #     fori_loop-over-spp jit at the capture resolution. Default
+    #     measures GSPT_BENCH_POSE_SPP samples in ONE pose_loop dispatch
+    #     and scales to 512 (the loop is linear in spp; a full-512 run
+    #     is recorded in BASELINE.md) ---
+    from pathtracer_gaussiansplatting_tpu.core.camera import toroidal_c2w
+    from pathtracer_gaussiansplatting_tpu.data.capture import (
+        make_tiled_pose_renderer,
+    )
+
+    pose_spp = int(os.environ.get("GSPT_BENCH_POSE_SPP", 16))
+
+    def _stage_pose():
+        pose_render = make_tiled_pose_renderer(
+            pt_scene, pt_settings, None, spp=pose_spp,
+            bounce_backend="grid", accel=pt_accel)
+        c2w_pose = toroidal_c2w(123.0, 20.0, 2.5, 0.3)
+        pose_render(c2w_pose, 800, 800, 45.0)  # compile
+        t0 = time.perf_counter()
+        pose_render(c2w_pose, 800, 800, 45.0)
+        return (time.perf_counter() - t0) * 512.0 / pose_spp
+
+    pose_s_512 = _opt(_stage_pose, -1.0)
+
 
     result = {
         "metric": f"amortized primary rays/s/chip, pallas tile renderer, "
