@@ -723,50 +723,75 @@ def _march_round(accel, origins, dirs, settings, setup, state,
     accepted for schedule compatibility and unused (flat B always
     consumes every recorded slot)."""
     del b_exit
-    t, trans, alive = state["t"], state["trans"], state["alive"]
-    t_far = state["t_far"]
-    slots, t_ent, t_exd, count, t_new, paused = _phase_a(
-        accel, origins, dirs, setup, t, alive, t_far, m_slots, a_max,
-        a_exit)
-    r = origins.shape[0]
-    table = accel.packet if with_features else accel.geom
-    b_sub = int(b_bytes / max(m_slots * table.shape[1] * 4, 1))
-    b_sub = max(4096, -(-b_sub // 256) * 256)
-    acc0 = state.get("acc")
-    if r <= b_sub:
-        trans, acc, alive_b = _phase_b(
-            accel, origins, dirs, settings, slots, t_ent, t_exd, count,
-            trans, acc0, alive, with_features, t_cap)
-    else:
-        parts = []
-        tok = trans[:1]
-        for s_ in range(0, r, b_sub):
-            e = min(s_ + b_sub, r)
-            sl = lambda x, s_=s_, e=e: x[s_:e]
-            # Chain chunks through a barrier on EVERY sliced input (the
-            # gather depends on slots, so chaining trans alone lets XLA
-            # hoist all chunk gathers and OOM HBM with their multi-GB
-            # transients).
-            sl_slots, sl_te, sl_tx, tr_in, tok = \
-                jax.lax.optimization_barrier(
-                    (slots[s_:e], t_ent[s_:e], t_exd[s_:e],
-                     trans[s_:e], tok))
-            parts.append(_phase_b(
-                accel, origins[s_:e], dirs[s_:e], settings,
-                sl_slots, sl_te, sl_tx, count[s_:e],
-                tr_in, None if acc0 is None else
-                jax.tree.map(sl, acc0), alive[s_:e], with_features,
-                None if t_cap is None else t_cap[s_:e]))
-            tok = parts[-1][0][:1]
-        trans, acc, alive_b = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs), *parts)
-    # A ray survives the round iff it paused in A (slots full or
-    # traversal unfinished) AND phase B did not saturate it.
-    alive = paused & alive_b
-    state = dict(state, t=t_new, trans=trans, alive=alive)
-    if with_features:
-        state["acc"] = acc
-    return state
+
+    def _run(state):
+        t, trans, alive = state["t"], state["trans"], state["alive"]
+        t_far = state["t_far"]
+        slots, t_ent, t_exd, count, t_new, paused = _phase_a(
+            accel, origins, dirs, setup, t, alive, t_far, m_slots, a_max,
+            a_exit)
+        r = origins.shape[0]
+        table = accel.packet if with_features else accel.geom
+        b_sub = int(b_bytes / max(m_slots * table.shape[1] * 4, 1))
+        b_sub = max(4096, -(-b_sub // 256) * 256)
+        acc0 = state.get("acc")
+
+        def chunk_b(o_c, d_c, sl_c, te_c, tx_c, ct_c, tr_c, acc_c, al_c,
+                    tc_c):
+            # A chunk whose rays are all dead or slotless is an exact
+            # no-op in phase B (no valid pairs -> cell_trans == 1,
+            # alive unchanged): lax.cond skips its multi-hundred-MB
+            # gather at runtime. With dead-last presorting the trailing
+            # chunks of sparse-active marches (NEE shadows, late
+            # bounces) all take the skip branch — this is what makes
+            # march cost proportional to the live fraction.
+            pred = jnp.any(al_c & (ct_c > 0))
+            return jax.lax.cond(
+                pred,
+                lambda: _phase_b(accel, o_c, d_c, settings, sl_c, te_c,
+                                 tx_c, ct_c, tr_c, acc_c, al_c,
+                                 with_features, tc_c),
+                lambda: (tr_c, acc_c, al_c))
+
+        if r <= b_sub:
+            trans, acc, alive_b = chunk_b(
+                origins, dirs, slots, t_ent, t_exd, count, trans, acc0,
+                alive, t_cap)
+        else:
+            parts = []
+            tok = trans[:1]
+            for s_ in range(0, r, b_sub):
+                e = min(s_ + b_sub, r)
+                sl = lambda x, s_=s_, e=e: x[s_:e]
+                # Chain chunks through a barrier on EVERY sliced input
+                # (the gather depends on slots, so chaining trans alone
+                # lets XLA hoist all chunk gathers and OOM HBM with
+                # their multi-GB transients).
+                sl_slots, sl_te, sl_tx, tr_in, tok = \
+                    jax.lax.optimization_barrier(
+                        (slots[s_:e], t_ent[s_:e], t_exd[s_:e],
+                         trans[s_:e], tok))
+                parts.append(chunk_b(
+                    origins[s_:e], dirs[s_:e],
+                    sl_slots, sl_te, sl_tx, count[s_:e],
+                    tr_in, None if acc0 is None else
+                    jax.tree.map(sl, acc0), alive[s_:e],
+                    None if t_cap is None else t_cap[s_:e]))
+                tok = parts[-1][0][:1]
+            trans, acc, alive_b = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs), *parts)
+        # A ray survives the round iff it paused in A (slots full or
+        # traversal unfinished) AND phase B did not saturate it.
+        alive = paused & alive_b
+        state = dict(state, t=t_new, trans=trans, alive=alive)
+        if with_features:
+            state["acc"] = acc
+        return state
+
+    # An all-dead (sub-)batch skips the whole round (phase A's while
+    # loop would exit after one btab gather; the cond skips even that).
+    return jax.lax.cond(jnp.any(state["alive"]), _run,
+                        lambda s: dict(s), state)
 
 
 def _interleave_bits(v):
