@@ -73,14 +73,39 @@ def _call_trace(trace_fn, scene, rays, settings, active):
     return trace_fn(scene, rays, settings)
 
 
-def _call_vis(visibility_fn, origins, dirs, t_end, active):
+def _call_vis(visibility_fn, origins, dirs, t_end, active,
+              want_frozen: bool = False):
+    """Returns (vis, frozen_count) — frozen_count is an int32 scalar, 0
+    when the backend cannot report mid-march freezing."""
+    kw = {}
     if _accepts_active(visibility_fn):
-        return visibility_fn(origins, dirs, t_end, active=active)
-    return visibility_fn(origins, dirs, t_end)
+        kw["active"] = active
+    if want_frozen and _accepts_kw(visibility_fn, "return_frozen"):
+        out = visibility_fn(origins, dirs, t_end, return_frozen=True, **kw)
+        return out[0], out[1]
+    return visibility_fn(origins, dirs, t_end, **kw), jnp.int32(0)
+
+
+def _accepts_kw(fn, name: str) -> bool:
+    import inspect
+
+    seen = 0
+    while hasattr(fn, "func") and seen < 8:
+        if name in (getattr(fn, "keywords", None) or {}):
+            return True
+        fn = fn.func
+        seen += 1
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+    return name in params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values())
 
 def _nee(key, d, scene, tables, punctual, inter, view, settings,
-         visibility_fn, use_nee=None, alive=None):
-    """One next-event-estimation sample per ray. Returns (R, 3) radiance.
+         visibility_fn, use_nee=None, alive=None, want_frozen=False):
+    """One next-event-estimation sample per ray. Returns ((R, 3) radiance,
+    frozen int32: rays the shadow marches froze mid-march).
 
     ``use_nee`` (R,) bool gates the emissive-light strategy per ray —
     the reference skips NEE on glass / mirror-smooth hits
@@ -123,8 +148,9 @@ def _nee(key, d, scene, tables, punctual, inter, view, settings,
         active_e = active_e & alive
     if use_nee is not None:
         active_e = active_e & use_nee
-    vis = _call_vis(visibility_fn, pos + n * eps, l_dir,
-                    dist - 2 * eps, active_e)
+    vis, frozen = _call_vis(visibility_fn, pos + n * eps, l_dir,
+                            dist - 2 * eps, active_e,
+                            want_frozen=want_frozen)
     e_contrib = brdf * em["emission"] / jnp.maximum(pdf_nee, 1e-10)[:, None]
     e_contrib = e_contrib * (mis * vis)[:, None] * ambient_w
     e_contrib = jnp.where(ok[:, None], e_contrib, 0.0)
@@ -143,8 +169,10 @@ def _nee(key, d, scene, tables, punctual, inter, view, settings,
         active_p = (n_dot_lp > 1e-3) & ~take_emissive
         if alive is not None:
             active_p = active_p & alive
-        vis_p = _call_vis(visibility_fn, pos + n * eps, pl["direction"],
-                          pl["dist"] - 2 * eps, active_p)
+        vis_p, frozen_p = _call_vis(visibility_fn, pos + n * eps,
+                                    pl["direction"], pl["dist"] - 2 * eps,
+                                    active_p, want_frozen=want_frozen)
+        frozen = frozen + frozen_p
         p_contrib = brdf_p * pl["radiance"] * (vis_p * pl["inv_prob"])[:, None]
         p_contrib = p_contrib * jnp.clip(
             1.0 - inter["transmission"], 0.0, 1.0)[:, None]
@@ -152,17 +180,18 @@ def _nee(key, d, scene, tables, punctual, inter, view, settings,
         p_punct = jnp.maximum(1.0 - tables.p_emissive, 1e-3)
         p_contrib = p_contrib / jnp.where(has_e, p_punct, 1.0)
         contrib += jnp.where(take_emissive[:, None], 0.0, p_contrib)
-    return contrib
+    return contrib, frozen
 
 
-@partial(jax.jit, static_argnames=("settings", "trace_fn", "visibility_fn"))
+@partial(jax.jit, static_argnames=("settings", "trace_fn", "visibility_fn",
+                                   "return_aux"))
 def pathtrace(scene: GaussianScene, rays: Rays,
               settings: RenderSettings, key,
               tables: Optional[lights_mod.LightTables] = None,
               punctual: Optional[PunctualLights] = None,
               trace_fn: Optional[Callable] = None,
               visibility_fn: Optional[Callable] = None,
-              primary_interaction=None):
+              primary_interaction=None, return_aux: bool = False):
     """Trace one sample-per-pixel of full path-traced radiance.
 
     Args:
@@ -173,8 +202,13 @@ def pathtrace(scene: GaussianScene, rays: Rays,
       primary_interaction: optional precomputed depth-0 interaction (e.g.
         from the fused tile pipeline, see pathtrace_camera) — the camera
         trace is then skipped and bounces use trace_fn.
+      return_aux: also return dict(frozen_alive=int32) summing the
+        marcher's mid-march frozen-ray counts over every bounce trace and
+        shadow march this sample (the no-silent-caps rule of
+        grid_trace._march applied to production renders; a backend without
+        the counter contributes 0).
 
-    Returns (R, 3) linear radiance.
+    Returns (R, 3) linear radiance (with aux dict when ``return_aux``).
     """
     if trace_fn is None:
         trace_fn = ref.trace_dense
@@ -193,6 +227,7 @@ def pathtrace(scene: GaussianScene, rays: Rays,
     alive = jnp.ones((r,), bool)
     last_pdf = jnp.zeros((r,))
     glass_first = jnp.zeros((r,), bool)
+    frozen_total = jnp.int32(0)
 
     for d in range(settings.max_depth):
         dkey = jax.random.fold_in(key, d)
@@ -203,6 +238,8 @@ def pathtrace(scene: GaussianScene, rays: Rays,
                                 settings, None if d == 0 else alive)
         alpha = inter["alpha_acc"]
         trans = inter["trans"]
+        if return_aux and "frozen_alive" in inter:
+            frozen_total = frozen_total + inter["frozen_alive"]
 
         # Escaping fraction sees the sky (miss.rmiss: ambient * 2).
         radiance += jnp.where(alive[:, None],
@@ -237,9 +274,11 @@ def pathtrace(scene: GaussianScene, rays: Rays,
         # Direct lighting at the aggregate surface.
         view = -dirs
         if settings.nee:
-            nee_li = _nee(dkey, d, scene, tables, punctual, inter, view,
-                          settings, visibility_fn, use_nee=use_nee_hit,
-                          alive=alive)
+            nee_li, nee_frozen = _nee(dkey, d, scene, tables, punctual,
+                                      inter, view, settings, visibility_fn,
+                                      use_nee=use_nee_hit, alive=alive,
+                                      want_frozen=return_aux)
+            frozen_total = frozen_total + nee_frozen
             radiance += jnp.where(alive[:, None],
                                   throughput * alpha[:, None] * nee_li, 0.0)
 
@@ -314,7 +353,10 @@ def pathtrace(scene: GaussianScene, rays: Rays,
             jax.lax.optimization_barrier(
                 (radiance, throughput, origins, dirs, alive, last_pdf))
 
-    return jnp.minimum(radiance, settings.firefly_clamp)
+    radiance = jnp.minimum(radiance, settings.firefly_clamp)
+    if return_aux:
+        return radiance, dict(frozen_alive=frozen_total)
+    return radiance
 
 
 def interaction_from_tiles(out, rays: Rays, settings: RenderSettings):
@@ -384,7 +426,8 @@ def interaction_from_tile_arrays(out, origins, dirs, settings):
 def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
                      key, packets=None, tables=None, punctual=None,
                      trace_fn=None, visibility_fn=None,
-                     config=None, jitter=None, chunk=None):
+                     config=None, jitter=None, chunk=None,
+                     return_aux: bool = False):
     """Production path tracing for a camera pose: fused tile pipeline for the
     primary hit (binning amortized via ``packets`` from prepare_tiles),
     grid/dense backend for bounces and shadows.
@@ -417,11 +460,14 @@ def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
     origins = jnp.broadcast_to(camera.c2w[:3, 3][None], (t * p, 3))
     rays = Rays(origins, dirs)
     primary = interaction_from_tile_arrays(out, origins, dirs, settings)
-    radiance = pathtrace(scene, rays, settings, key, tables=tables,
-                         punctual=punctual, trace_fn=trace_fn,
-                         visibility_fn=visibility_fn,
-                         primary_interaction=primary)
+    res = pathtrace(scene, rays, settings, key, tables=tables,
+                    punctual=punctual, trace_fn=trace_fn,
+                    visibility_fn=visibility_fn,
+                    primary_interaction=primary, return_aux=return_aux)
+    radiance, aux = res if return_aux else (res, None)
     img = untile_image(radiance.reshape(t, p, 3), camera, config)
+    if return_aux:
+        return img.reshape(-1, 3), aux
     return img.reshape(-1, 3)
 
 

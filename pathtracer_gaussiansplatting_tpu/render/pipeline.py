@@ -27,9 +27,13 @@ from pathtracer_gaussiansplatting_tpu.render import reference as ref
 AUTO_DENSE_LIMIT = 50_000
 
 
-def _dense_vis(settings, scene, o, d, t, active=None):
+def _dense_vis(settings, scene, o, d, t, active=None, return_frozen=False):
     vis = ref.visibility_dense(scene, o, d, t, settings)
-    return vis if active is None else jnp.where(active, vis, 1.0)
+    if active is not None:
+        vis = jnp.where(active, vis, 1.0)
+    if return_frozen:  # dense is exact: nothing ever freezes
+        return vis, jnp.int32(0)
+    return vis
 
 
 def _grid_trace(max_steps, accel, scene, rays, settings, active=None):
@@ -39,13 +43,15 @@ def _grid_trace(max_steps, accel, scene, rays, settings, active=None):
                       max_steps=max_steps, active=active)
 
 
-def _grid_vis(max_steps, settings, accel, scene, o, d, t, active=None):
+def _grid_vis(max_steps, settings, accel, scene, o, d, t, active=None,
+              return_frozen=False):
     from pathtracer_gaussiansplatting_tpu.render.grid_trace import (
         visibility_grid,
     )
 
     return visibility_grid(scene, accel, o, d, t, settings,
-                           max_steps=max_steps, active=active)
+                           max_steps=max_steps, active=active,
+                           return_frozen=return_frozen)
 
 
 def _spatial_trace(mesh, scene_slabbed, _scene, rays, settings,
@@ -58,13 +64,17 @@ def _spatial_trace(mesh, scene_slabbed, _scene, rays, settings,
     return trace_spatial(scene_slabbed, rays, settings, mesh)
 
 
-def _spatial_vis(mesh, settings, scene_slabbed, o, d, t, active=None):
+def _spatial_vis(mesh, settings, scene_slabbed, o, d, t, active=None,
+                 return_frozen=False):
     del active
     from pathtracer_gaussiansplatting_tpu.parallel.spatial import (
         visibility_spatial,
     )
 
-    return visibility_spatial(scene_slabbed, o, d, t, settings, mesh)
+    vis = visibility_spatial(scene_slabbed, o, d, t, settings, mesh)
+    if return_frozen:  # slab compositor is dense per slab: no freezing
+        return vis, jnp.int32(0)
+    return vis
 
 
 def make_trace_backend(scene: GaussianScene, settings: RenderSettings,

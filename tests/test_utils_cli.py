@@ -238,3 +238,58 @@ class TestMidPoseCheckpoint:
                          checkpoint_every=2)
         assert not os.path.exists(state)
         np.testing.assert_array_equal(resumed, ref_img)
+
+
+class TestFrozenAliveReport:
+    """frozen_alive rides pathtrace_camera into capture's per-pose stats
+    (VERDICT r4 #6: marcher truncation must be reported, never silent)."""
+
+    def test_pose_stats_include_marcher_truncation(self, tmp_path):
+        import numpy as np
+
+        from pathtracer_gaussiansplatting_tpu.core.camera import (
+            toroidal_c2w,
+        )
+        from pathtracer_gaussiansplatting_tpu.core.types import (
+            RenderSettings,
+        )
+        from pathtracer_gaussiansplatting_tpu.data.capture import (
+            make_tiled_pose_renderer,
+        )
+        from utils import random_scene
+
+        scene = random_scene(600, np.random.default_rng(5), spread=0.6)
+        settings = RenderSettings(max_depth=2)
+        # max_steps=1 clips the march schedule to ONE occupied-cell
+        # composite: bounce/shadow rays in a dense cloud must freeze.
+        render = make_tiled_pose_renderer(scene, settings, None, spp=1,
+                                          bounce_backend="grid",
+                                          max_steps=1)
+        stats = {}
+        img = render(toroidal_c2w(30.0, 10.0, 2.0, 0.3), 24, 24, 45.0,
+                     stats_out=stats)
+        assert img.shape == (24, 24, 3)
+        assert stats.get("frozen_alive", 0.0) > 0
+
+    def test_full_schedule_freezes_nothing(self, tmp_path):
+        import numpy as np
+
+        from pathtracer_gaussiansplatting_tpu.core.camera import (
+            toroidal_c2w,
+        )
+        from pathtracer_gaussiansplatting_tpu.core.types import (
+            RenderSettings,
+        )
+        from pathtracer_gaussiansplatting_tpu.data.capture import (
+            make_tiled_pose_renderer,
+        )
+        from utils import random_scene
+
+        scene = random_scene(200, np.random.default_rng(5), spread=1.0)
+        settings = RenderSettings(max_depth=2)
+        render = make_tiled_pose_renderer(scene, settings, None, spp=1,
+                                          bounce_backend="grid")
+        stats = {}
+        render(toroidal_c2w(30.0, 10.0, 2.0, 0.3), 16, 16, 45.0,
+               stats_out=stats)
+        assert stats.get("frozen_alive", -1.0) == 0.0
