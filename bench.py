@@ -206,38 +206,51 @@ def main():
                   file=sys.stderr)
             return fallback
 
+    # Depth-12 at FULL 1080p (raygen_camera.rgen:47-64): one sample is
+    # longer than the worker's per-dispatch execution limit (~60 s,
+    # DESIGN.md "dispatch watchdog"), so it runs host-chunked — primary
+    # tile pass + per-ray-chunk bounce dispatches. 2 timed iterations
+    # (VERDICT r4 weak #6: no single-shot prices).
+    from pathtracer_gaussiansplatting_tpu.render.pathtrace import (
+        pathtrace_camera_chunked,
+    )
+
     pt12_settings = RenderSettings(max_depth=12, opaque_depth=4,
                                    ambient=(0.05, 0.05, 0.06, 1.0))
-    pt12_w, pt12_h = 480, 270   # 23 marches; quarter-res keeps the jit
-    #                             near the (working) depth-4 1080p program
-    #                             size — larger depth-12 programs faulted
-    #                             the v5e worker
+    pt12_w = int(os.environ.get("GSPT_BENCH_PT12_W", pt_w))
+    pt12_h = int(os.environ.get("GSPT_BENCH_PT12_H", pt_h))
+    pt12_chunks = int(os.environ.get("GSPT_BENCH_PT12_CHUNKS", 6))
     pt12_cam = Camera(c2w=pt_cam.c2w, fov_y_deg=pt_cam.fov_y_deg,
                       width=pt12_w, height=pt12_h)
+
     def _stage_pt12():
         pt12_trace, pt12_vis = make_trace_backend(
             pt_scene, pt12_settings, "grid", accel=pt_accel)
         pt12_pk = prepare_tiles(pt_scene, pt12_cam, pt12_settings,
                                 pt_cfg)
         fence(pt12_pk)
-        pt12_fn = jax.jit(lambda s, p, tb, tf, vf, k: pathtrace_camera(
-            s, pt12_cam, pt12_settings, k, packets=p, tables=tb,
-            trace_fn=tf, visibility_fn=vf, config=pt_cfg))
-        fence(pt12_fn(pt_scene, pt12_pk, pt_tables, pt12_trace,
-                      pt12_vis, key))
+
+        def one(i):
+            img12 = pathtrace_camera_chunked(
+                pt_scene, pt12_cam, pt12_settings,
+                jax.random.fold_in(key, i), pt12_chunks, packets=pt12_pk,
+                tables=pt_tables, trace_fn=pt12_trace,
+                visibility_fn=pt12_vis, config=pt_cfg)
+            fence(img12)
+
+        one(0)  # compile
         t0 = time.perf_counter()
-        img12 = pt12_fn(pt_scene, pt12_pk, pt_tables, pt12_trace,
-                        pt12_vis, jax.random.fold_in(key, 1))
-        fence(img12)
-        return time.perf_counter() - t0
+        one(1)
+        one(2)
+        return (time.perf_counter() - t0) / 2.0
 
     dt_pt12 = _opt(_stage_pt12, -1.0)
 
-    # --- one converged capture pose (engine.cpp:2684-2707 shape): the
-    #     fori_loop-over-spp jit at the capture resolution. Default
-    #     measures GSPT_BENCH_POSE_SPP samples in ONE pose_loop dispatch
-    #     and scales to 512 (the loop is linear in spp; a full-512 run
-    #     is recorded in BASELINE.md) ---
+    # --- one converged capture pose (engine.cpp:2684-2707 shape) through
+    #     the PRODUCTION pose renderer (calibrated dispatch segments,
+    #     DESIGN.md "dispatch watchdog"). Measures GSPT_BENCH_POSE_SPP
+    #     real samples and scales to 512 (linear in spp; BASELINE.md
+    #     records a full small-config capture) ---
     from pathtracer_gaussiansplatting_tpu.core.camera import toroidal_c2w
     from pathtracer_gaussiansplatting_tpu.data.capture import (
         make_tiled_pose_renderer,
@@ -250,7 +263,7 @@ def main():
             pt_scene, pt_settings, None, spp=pose_spp,
             bounce_backend="grid", accel=pt_accel)
         c2w_pose = toroidal_c2w(123.0, 20.0, 2.5, 0.3)
-        pose_render(c2w_pose, 800, 800, 45.0)  # compile
+        pose_render(c2w_pose, 800, 800, 45.0)  # compiles + calibration
         t0 = time.perf_counter()
         pose_render(c2w_pose, 800, 800, 45.0)
         return (time.perf_counter() - t0) * 512.0 / pose_spp
@@ -275,7 +288,9 @@ def main():
         "pathtrace12_sample_ms": round(dt_pt12 * 1e3, 1),
         "pathtrace12_config": f"{pt12_w}x{pt12_h}, max_depth 12, "
                               "opaque_depth 4 (raygen_camera.rgen:47-64 "
-                              "adaptive; glass sphere in scene)",
+                              "adaptive; glass sphere in scene), "
+                              f"{pt12_chunks} ray-chunk dispatches, "
+                              "median of 2 iters",
         "pose_s": round(pose_s_512, 1),
         "pose_config": f"800x800 depth-{pt_depth} capture pose, 512 spp "
                        f"(measured {pose_spp} spp in one fori_loop jit, "

@@ -24,7 +24,7 @@ import os
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     mode = sys.argv[1]
-    res = int(sys.argv[2])
+    res_arg = sys.argv[2]           # "800" or "1920x1080"
     spp = int(sys.argv[3])
     depth = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
@@ -54,6 +54,11 @@ def main():
     )
     from pathtracer_gaussiansplatting_tpu.render.tiled import prepare_tiles
 
+    if "x" in res_arg:
+        res_w, res_h = (int(v) for v in res_arg.split("x"))
+    else:
+        res_w = res_h = int(res_arg)
+    res = res_h  # kept for log labels
     n = int(os.environ.get("GSPT_N", 500_000))
     scene = surface_scene(n, seed=13)
     settings = RenderSettings(max_depth=depth,
@@ -65,7 +70,7 @@ def main():
     tables = build_light_tables(scene)
     cfg = BinningConfig()
     c2w = toroidal_c2w(123.0, 20.0, 2.5, 0.3)
-    cam = Camera(c2w=c2w, fov_y_deg=45.0, width=res, height=res)
+    cam = Camera(c2w=c2w, fov_y_deg=45.0, width=res_w, height=res_h)
     pk = prepare_tiles(scene, cam, settings, cfg)
     base_key = jax.random.PRNGKey(13)
 
@@ -77,17 +82,17 @@ def main():
         fn = jax.jit(lambda s, p, tb, tf, vf, key, jit_: pathtrace_camera(
             s, cam, settings, key, packets=p, tables=tb, trace_fn=tf,
             visibility_fn=vf, config=cfg, jitter=jit_))
-        jit0 = rng_mod.subpixel_jitter(base_key, res, res, 0)
+        jit0 = rng_mod.subpixel_jitter(base_key, res_h, res_w, 0)
         fence(fn(scene, pk, tables, trace_fn, vis_fn,
                  rng_mod.frame_key(base_key, 0), jit0))
         print(f"[ok] compile {time.perf_counter() - t_compile:.1f}s",
               flush=True)
         t0 = time.perf_counter()
-        acc = jnp.zeros((res * res, 3))
+        acc = jnp.zeros((res_w * res_h, 3))
         for i in range(spp):
             cur = fn(scene, pk, tables, trace_fn, vis_fn,
                      rng_mod.frame_key(base_key, i),
-                     rng_mod.subpixel_jitter(base_key, res, res, i))
+                     rng_mod.subpixel_jitter(base_key, res_h, res_w, i))
             acc = accumulate(acc, cur, i)
         fence(acc)
         dt = time.perf_counter() - t0
@@ -96,7 +101,7 @@ def main():
         def pose(scene_, pk_, tb_, tf_, vf_, acc0):
             def body(i, acc):
                 fkey = rng_mod.frame_key(base_key, i)
-                jit_ = rng_mod.subpixel_jitter(base_key, res, res, i)
+                jit_ = rng_mod.subpixel_jitter(base_key, res_h, res_w, i)
                 cur = pathtrace_camera(
                     scene_, cam, settings, fkey, packets=pk_, tables=tb_,
                     trace_fn=tf_, visibility_fn=vf_, config=cfg,
@@ -109,7 +114,7 @@ def main():
                 acc = body(i, acc)
             return acc
 
-        acc0 = jnp.zeros((res * res, 3))
+        acc0 = jnp.zeros((res_w * res_h, 3))
         fence(pose(scene, pk, tables, trace_fn, vis_fn, acc0))
         print(f"[ok] compile {time.perf_counter() - t_compile:.1f}s",
               flush=True)
@@ -118,7 +123,7 @@ def main():
         dt = time.perf_counter() - t0
     else:
         raise SystemExit(f"unknown mode {mode}")
-    print(f"[ok] {mode} res={res} spp={spp} depth={depth}: {dt:.2f}s "
+    print(f"[ok] {mode} res={res_arg} spp={spp} depth={depth}: {dt:.2f}s "
           f"({dt / spp:.2f} s/sample)", flush=True)
 
 

@@ -123,13 +123,24 @@ def render_pose(render_fn, c2w, width, height, fov_y_deg, chunk: int = 65536):
 
 def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
                              spp: int, key=None, bounce_backend: str = "auto",
-                             binning_config=None, **backend_kw):
+                             binning_config=None, max_dispatch_s: float = 20.0,
+                             **backend_kw):
     """Pose renderer using the fused tile pipeline for primary rays.
 
     Per pose: ONE prepare_tiles (binning, the TLAS analog), then spp
     path-traced samples with fresh subpixel jitter (raygen_camera.rgen:25-29)
     whose bounces use the chosen backend. Returns
     render(c2w, width, height, fov_y_deg) -> (H, W, 3) numpy.
+
+    ``max_dispatch_s`` bounds how long any single device dispatch may run:
+    the spp loop is fori_loop'd on-device in SEGMENTS whose length is
+    calibrated from the measured first-sample time (ROOT CAUSE, r5: the
+    v5e worker behind the axon tunnel kills executions running longer
+    than ~60 s in one dispatch — a 512-spp 800x800 depth-4 pose is one
+    ~35-minute dispatch and reproducibly crashed the worker, while the
+    identical program at 4 spp/~17 s runs fine; see DESIGN.md "dispatch
+    watchdog"). Segment boundaries change NO numerics: accumulation is
+    a pure fold over the absolute frame index.
     """
     from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
     from pathtracer_gaussiansplatting_tpu.render.pathtrace import (
@@ -145,6 +156,7 @@ def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
     base_key = jax.random.PRNGKey(CAPTURE_SEED) if key is None else key
     trace_fn, vis_fn = make_trace_backend(scene, settings, bounce_backend,
                                           **backend_kw)
+    calib = {"seg": None}   # per-dispatch spp cap, measured at first pose
     # Grid-accel truncation rides the renderer so capture can report it
     # alongside tile-binning stats (no silent caps; VERDICT r2 weak #2).
     render_grid_stats = {}
@@ -199,6 +211,8 @@ def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
             load_render_state, save_render_state,
         )
 
+        import time as _time
+
         cam = Camera(c2w=c2w, fov_y_deg=fov_y_deg, width=width,
                      height=height)
         packets = prepare_tiles(scene, cam, settings, config)
@@ -217,6 +231,32 @@ def make_tiled_pose_renderer(scene, settings: RenderSettings, punctual,
             f0 = state["frames_done"]
         seg = checkpoint_every if (state_path and checkpoint_every) \
             else spp
+        # Calibrate the per-dispatch segment length once: run ONE real
+        # sample as its own dispatch, time it, and cap segments so a
+        # dispatch stays under max_dispatch_s (the sample still counts —
+        # accumulation is a fold over the absolute frame index).
+        # Tiny workloads (tests, previews) skip calibration: their whole
+        # pose fits one dispatch and segment counts are asserted in tests.
+        if calib["seg"] is None and spp > 8 and f0 < spp - 2:
+            t0_c = _time.perf_counter()
+            acc, frz0 = pose_loop(scene, tables, trace_fn, vis_fn,
+                                  packets, cam, acc, f0, 1)
+            acc = jax.block_until_ready(acc)
+            # compile happened inside the same call; time a second,
+            # cached dispatch for an honest per-sample figure
+            t0_c = _time.perf_counter()
+            acc, frz1 = pose_loop(scene, tables, trace_fn, vis_fn,
+                                  packets, cam, acc, f0 + 1, 1)
+            acc = jax.block_until_ready(acc)
+            dt_c = _time.perf_counter() - t0_c
+            calib["seg"] = max(1, min(int(max_dispatch_s / max(dt_c, 1e-3)),
+                                      256))
+            if stats_out is not None:
+                stats_out["frozen_alive"] = (stats_out.get(
+                    "frozen_alive", 0.0) + float(frz0) + float(frz1))
+            f0 += 2
+        if calib["seg"] is not None:
+            seg = min(seg, calib["seg"]) if seg else calib["seg"]
         done_segments = 0
         while f0 < spp:
             n = min(seg, spp - f0)

@@ -471,6 +471,75 @@ def pathtrace_camera(scene: GaussianScene, camera, settings: RenderSettings,
     return img.reshape(-1, 3)
 
 
+@partial(jax.jit, static_argnames=("settings", "config", "outputs"))
+def _primary_stage(scene, camera, settings, config, jitter=None,
+                   outputs=("tile_feats", "tile_alpha", "tile_depth",
+                            "tile_dirs"), packets=None):
+    from pathtracer_gaussiansplatting_tpu.render.tiled import (
+        prepare_tiles, render_prepared,
+    )
+
+    if packets is None:
+        packets = prepare_tiles(scene, camera, settings, config)
+    out = render_prepared(packets, camera, settings, config, jitter=jitter,
+                          outputs=outputs)
+    t, p, _ = out["tile_dirs"].shape
+    dirs = out["tile_dirs"].reshape(t * p, 3)
+    origins = jnp.broadcast_to(camera.c2w[:3, 3][None], (t * p, 3))
+    primary = interaction_from_tile_arrays(out, origins, dirs, settings)
+    return origins, dirs, primary
+
+
+def pathtrace_camera_chunked(scene, camera, settings: RenderSettings, key,
+                             n_chunks: int, packets=None, tables=None,
+                             punctual=None, trace_fn=None,
+                             visibility_fn=None, config=None, jitter=None,
+                             return_aux: bool = False):
+    """pathtrace_camera split into 1 + n_chunks separate device dispatches.
+
+    For samples whose single-dispatch runtime would trip the worker's
+    execution watchdog (~60 s on the v5e behind the axon tunnel — see
+    DESIGN.md "dispatch watchdog"): depth-12 at 1080p is one such shape
+    (raygen_camera.rgen:47-64 runs it per pixel on the GPU). The primary
+    tile pass is one dispatch; the bounce continuation runs per ray chunk
+    (tile-major contiguous slices), each its own dispatch. NOT jittable
+    as a whole (that would defeat the purpose); numerics match
+    pathtrace_camera exactly except the per-chunk RNG fold
+    (jax.random.fold_in(key, chunk) — still deterministic).
+    """
+    from pathtracer_gaussiansplatting_tpu.ops.binning import BinningConfig
+    from pathtracer_gaussiansplatting_tpu.render.tiled import untile_image
+
+    config = config or BinningConfig()
+    origins, dirs, primary = _primary_stage(
+        scene, camera, settings, config, jitter=jitter, packets=packets)
+    r = origins.shape[0]
+    psz = config.tile_size ** 2     # chunks stay tile-aligned
+    chunk = -(-r // max(n_chunks, 1))
+    chunk = -(-chunk // psz) * psz
+    parts, frozen = [], jnp.int32(0)
+    for ci, s in enumerate(range(0, r, chunk)):
+        e = min(s + chunk, r)
+        sl = lambda x, s=s, e=e: x[s:e]
+        res = pathtrace(scene, Rays(origins[s:e], dirs[s:e]), settings,
+                        jax.random.fold_in(key, ci), tables=tables,
+                        punctual=punctual, trace_fn=trace_fn,
+                        visibility_fn=visibility_fn,
+                        primary_interaction=jax.tree.map(sl, primary),
+                        return_aux=return_aux)
+        if return_aux:
+            parts.append(res[0])
+            frozen = frozen + res[1]["frozen_alive"]
+        else:
+            parts.append(res)
+        parts[-1] = jax.block_until_ready(parts[-1])
+    radiance = jnp.concatenate(parts, axis=0)
+    img = untile_image(radiance.reshape(r // psz, psz, 3), camera, config)
+    if return_aux:
+        return img.reshape(-1, 3), dict(frozen_alive=frozen)
+    return img.reshape(-1, 3)
+
+
 def accumulate(prev, cur, frame):
     """Progressive accumulation: mix(prev, cur, 1/(frame+1))
     (raygen_camera.rgen:80-87). frame counts completed samples."""
