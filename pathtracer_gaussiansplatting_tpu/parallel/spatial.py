@@ -49,6 +49,23 @@ from pathtracer_gaussiansplatting_tpu.parallel.mesh import (
 )
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabAccelMeta:
+    """Static metadata shared by every slab accel (hashable; rides jit
+    static args while the stacked tables ride as sharded arrays)."""
+
+    dims: Tuple[int, int, int]
+    jump_unit: float
+    stats: tuple = ()
+
+    @property
+    def stats_dict(self) -> dict:
+        return dict(self.stats)
+
+
 def partition_slabs(scene: GaussianScene, n_slabs: int,
                     axis=(0.0, 0.0, 1.0)) -> Tuple[GaussianScene, np.ndarray]:
     """Sort Gaussians into ``n_slabs`` contiguous equal-count depth slabs.
@@ -105,6 +122,74 @@ def _slab_composite(block: GaussianScene, origins, dirs, axis,
 def _over(c_front, t_front, c_back, t_back):
     """'over' composition: front segment seen before back segment."""
     return c_front + t_front[:, None] * c_back, t_front * t_back
+
+
+def build_slab_accels(scene_slabbed: GaussianScene, n_slabs: int,
+                      max_per_cell: int = 32, dims=None,
+                      radius_percentile: float = 99.0):
+    """Per-slab grid acceleration, stacked for sharding (r5, VERDICT r4 #8).
+
+    The r4 slab interaction was a DENSE (rays x slab) top-K composite —
+    946 rays/s/chip at 2M Gaussians (SPATIAL_CHIP_r04.json), the analog
+    of tracing without the reference's per-object BLAS
+    (engine.cpp:534-655). This builds ONE v3 grid accel per slab
+    (render/grid_trace.py) with a shared cell geometry (global bounds +
+    dims, so the static marcher metadata is identical across devices)
+    and stacks the tables along a leading slab axis: shard it
+    P(GAUSS_AXIS) and each device marches only its resident slab.
+
+    Returns dict pytree:
+      btab (S, B, 4) i32, geom (S, Smax, 12*Kc) f32,
+      packet (S, Smax, pkt*Kc) f32, lo/hi (S, 3) f32,
+    plus static metadata under non-array keys consumed by
+    trace_spatial/visibility_spatial.
+    """
+    from pathtracer_gaussiansplatting_tpu.render import grid_trace as gt
+
+    n = scene_slabbed.num_gaussians
+    per = n // n_slabs
+    means = np.asarray(scene_slabbed.means)
+    opac = np.asarray(scene_slabbed.opacities)
+    # Global bounds over REAL splats (padding gaussians are transparent).
+    real = opac > 0
+    exts = gt._aniso_extents(scene_slabbed, 3.0)
+    lo_g = (means[real] - exts[real]).min(0)
+    hi_g = (means[real] + exts[real]).max(0)
+    if dims is None:
+        dims, _, _, _, _, _ = gt.fit_grid(
+            jax.tree.map(lambda x: x[real], scene_slabbed),
+            radius_percentile=radius_percentile)
+    accels = []
+    for s in range(n_slabs):
+        block = jax.tree.map(lambda x: x[s * per:(s + 1) * per],
+                             scene_slabbed)
+        accels.append(gt.build_grid_accel(
+            block, dims=dims, max_per_cell=max_per_cell,
+            radius_percentile=radius_percentile, bounds=(lo_g, hi_g)))
+    s_max = max(a.geom.shape[0] for a in accels)
+
+    def pad_rows(x):
+        return np.pad(np.asarray(x), ((0, s_max - x.shape[0]), (0, 0)))
+
+    stats = dict(
+        dropped_frac=float(np.mean([a.stats_dict["dropped_frac"]
+                                    for a in accels])),
+        clamped_frac=float(np.mean([a.stats_dict["clamped_frac"]
+                                    for a in accels])),
+        max_per_cell=max_per_cell,
+    )
+    tables = dict(
+        btab=jnp.asarray(np.stack([np.asarray(a.btab) for a in accels])),
+        geom=jnp.asarray(np.stack([pad_rows(a.geom) for a in accels])),
+        packet=jnp.asarray(np.stack([pad_rows(a.packet)
+                                     for a in accels])),
+        lo=jnp.asarray(np.stack([np.asarray(a.lo) for a in accels])),
+        hi=jnp.asarray(np.stack([np.asarray(a.hi) for a in accels])),
+    )
+    meta = SlabAccelMeta(dims=tuple(int(d) for d in dims),
+                         jump_unit=float(accels[0].jump_unit),
+                         stats=tuple(sorted(stats.items())))
+    return tables, meta
 
 
 def _ring_composite(scene_slabbed: GaussianScene, origins, dirs, extra,
@@ -248,28 +333,89 @@ def _slab_interaction_feats(block: GaussianScene, origins, dirs, axis,
     return feats, trans
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "mesh"))
+def _grid_slab_trace_fn(meta: "SlabAccelMeta", settings: RenderSettings,
+                        max_steps: int):
+    """Per-slab interaction via the v3 grid marcher (VERDICT r4 #8): the
+    slab analog of the reference's per-object BLAS (engine.cpp:534-655).
+    Feature order matches _slab_interaction_feats; bounce color is the
+    marcher's deg<=1 factored SH (render/grid_trace docstring)."""
+    from pathtracer_gaussiansplatting_tpu.render import grid_trace as gt
+
+    order = ("col_r", "col_g", "col_b", "emi_r", "emi_g", "emi_b",
+             "met", "rough", "nx", "ny", "nz", "cc", "ccr", "trn",
+             "tsum")
+
+    def slab_fn(tables, origins, dirs, extra):
+        acc = gt.GridAccel(
+            btab=tables["btab"][0], geom=tables["geom"][0],
+            packet=tables["packet"][0], lo=tables["lo"][0],
+            hi=tables["hi"][0], dims=meta.dims,
+            jump_unit=meta.jump_unit, stats=())
+        trans, acc_d, _ = gt._march(
+            acc, origins, dirs, settings, max_steps,
+            with_features=True, compact_min=1 << 40)
+        feats = jnp.stack([acc_d[k] for k in order], axis=-1)
+        return feats, trans
+
+    return slab_fn
+
+
+def _grid_slab_vis_fn(meta: "SlabAccelMeta", settings: RenderSettings,
+                      max_steps: int):
+    from pathtracer_gaussiansplatting_tpu.render import grid_trace as gt
+
+    def slab_fn(tables, origins, dirs, t_end):
+        acc = gt.GridAccel(
+            btab=tables["btab"][0], geom=tables["geom"][0],
+            packet=tables["packet"][0], lo=tables["lo"][0],
+            hi=tables["hi"][0], dims=meta.dims,
+            jump_unit=meta.jump_unit, stats=())
+        trans, _, _ = gt._march(
+            acc, origins, dirs, settings, max_steps, t_end=t_end,
+            with_features=False, compact_min=1 << 40)
+        return jnp.zeros((origins.shape[0], 0)), trans
+
+    return slab_fn
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "mesh",
+                                             "accel_meta", "max_steps"))
 def trace_spatial(scene_slabbed: GaussianScene, rays: Rays,
-                  settings: RenderSettings, mesh, axis=(0.0, 0.0, 1.0)):
+                  settings: RenderSettings, mesh, axis=(0.0, 0.0, 1.0),
+                  slab_accel=None, accel_meta=None, max_steps: int = 128):
     """trace_dense-compatible aggregate interaction over partitioned slabs.
 
     Lets the multi-bounce path tracer (render/pathtrace.pathtrace) run with
     the scene spatially sharded: pass
     trace_fn=lambda s, r, st: trace_spatial(slabbed, r, st, mesh) and
     visibility_fn=visibility_spatial. Ray layout contract as render_spatial.
+
+    With ``slab_accel``/``accel_meta`` (build_slab_accels), each slab's
+    interaction runs through the v3 grid marcher instead of the dense
+    top-K composite — the within-slab acceleration the r4 ring lacked
+    (SPATIAL_CHIP_r04: 946 rays/s/chip dense; see SPATIAL_CHIP_r05).
     """
     from pathtracer_gaussiansplatting_tpu.ops.safe_math import safe_normalize
 
     axis_v = jnp.asarray(axis, jnp.float32)
     axis_v = axis_v / jnp.maximum(jnp.linalg.norm(axis_v), 1e-12)
 
-    def slab_fn(block, origins, dirs, extra):
-        return _slab_interaction_feats(block, origins, dirs, axis_v,
-                                       settings)
+    if slab_accel is not None:
+        # _grid_slab_trace_fn already emits _slab_interaction_feats'
+        # channel order: [albedo3, emission3, met, rough, normal3, cc,
+        # ccr, trn, depth].
+        slab_fn = _grid_slab_trace_fn(accel_meta, settings, max_steps)
+        feats, trans = _ring_composite(
+            slab_accel, rays.origins, rays.directions, (), settings,
+            mesh, axis_v, slab_fn, 15)
+    else:
+        def slab_fn(block, origins, dirs, extra):
+            return _slab_interaction_feats(block, origins, dirs, axis_v,
+                                           settings)
 
-    feats, trans = _ring_composite(scene_slabbed, rays.origins,
-                                   rays.directions, (), settings, mesh,
-                                   axis_v, slab_fn, 15)
+        feats, trans = _ring_composite(scene_slabbed, rays.origins,
+                                       rays.directions, (), settings, mesh,
+                                       axis_v, slab_fn, 15)
     alpha_acc = 1.0 - trans
     denom = jnp.maximum(alpha_acc, 1e-8)
     depth = feats[:, 14] / denom
@@ -290,17 +436,27 @@ def trace_spatial(scene_slabbed: GaussianScene, rays: Rays,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "mesh"))
+@functools.partial(jax.jit, static_argnames=("settings", "mesh",
+                                             "accel_meta", "max_steps"))
 def visibility_spatial(scene_slabbed: GaussianScene, origins, directions,
                        t_end, settings: RenderSettings, mesh,
-                       axis=(0.0, 0.0, 1.0)):
+                       axis=(0.0, 0.0, 1.0), slab_accel=None,
+                       accel_meta=None, max_steps: int = 128):
     """Shadow transmittance over partitioned slabs (order-free product).
 
     The per-slab segment transmittances multiply commutatively, but riding
     the same ring keeps the data movement pattern (and sharding contract)
-    identical to the trace."""
+    identical to the trace. ``slab_accel`` switches the per-slab segment
+    march to the grid backend (see trace_spatial)."""
     axis_v = jnp.asarray(axis, jnp.float32)
     axis_v = axis_v / jnp.maximum(jnp.linalg.norm(axis_v), 1e-12)
+
+    if slab_accel is not None:
+        slab_fn = _grid_slab_vis_fn(accel_meta, settings, max_steps)
+        _, trans = _ring_composite(slab_accel, origins, directions,
+                                   t_end, settings, mesh, axis_v,
+                                   slab_fn, 0)
+        return trans
 
     def slab_fn(block, o, d, extra):
         m = gops.canonical_transforms(block.log_scales, block.quats)

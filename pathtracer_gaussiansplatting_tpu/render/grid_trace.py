@@ -256,7 +256,8 @@ def _block_jump_table(occ_blocks: np.ndarray, bdims, block_size,
 def build_grid_accel(scene: GaussianScene, dims=None,
                      max_per_cell: int = 32, sigma: float = 3.0,
                      radius_percentile: float = 99.0,
-                     memory_budget_bytes: float = 2.5e9) -> GridAccel:
+                     memory_budget_bytes: float = 2.5e9,
+                     bounds=None) -> GridAccel:
     """Build the grid on the host (native C++ when available).
 
     ``dims=None`` auto-fits dims and the extent clamp to the scene
@@ -285,8 +286,14 @@ def build_grid_accel(scene: GaussianScene, dims=None,
         cap = float(np.percentile(h_max, radius_percentile))
         scale = np.minimum(1.0, cap / np.maximum(h_max, 1e-12))
         exts_eff = exts * scale[:, None]
-        lo = (centers - exts_eff).min(0)
-        hi = (centers + exts_eff).max(0)
+        if bounds is not None:
+            # Forced bounds (stacked per-slab accels need one shared
+            # cell geometry across slabs, parallel/spatial.py).
+            lo = np.asarray(bounds[0], np.float32)
+            hi = np.asarray(bounds[1], np.float32)
+        else:
+            lo = (centers - exts_eff).min(0)
+            hi = (centers + exts_eff).max(0)
         n_clamped = int((h_max > cap).sum())
     n = scene.num_gaussians
     deg1 = scene.sh_coeffs.shape[1] >= 4
@@ -585,11 +592,16 @@ def _phase_a(accel: GridAccel, origins, dirs, setup, t, alive, t_far,
         return (it < a_max) & (jnp.sum(probing.astype(jnp.int32))
                                > probe_floor)
 
-    slots0 = jnp.zeros((r, m_slots), jnp.int32)
-    tz = jnp.zeros((r, m_slots))
+    # Carry inits derive from the ray arrays (not fresh constants) so
+    # their device-variance matches the body outputs under shard_map
+    # (while_loop carries must agree; parallel/spatial.py runs this
+    # marcher inside the slab ring).
+    zero_f = origins[:, 0] * 0.0
+    zero_i = zero_f.astype(jnp.int32)
+    slots0 = jnp.repeat(zero_i[:, None], m_slots, axis=1)
+    tz = jnp.repeat(zero_f[:, None], m_slots, axis=1)
     t0 = jnp.where(alive, t, t_far)     # dead rays never probe
-    carry = (t0, jnp.zeros((r,), jnp.int32), slots0, tz, tz,
-             jnp.int32(0))
+    carry = (t0, zero_i, slots0, tz, tz, jnp.int32(0))
     t_new, count, slots, t_ent, t_exd, _ = jax.lax.while_loop(
         cond, body, carry)
     paused = (t_new < t_far) & alive
@@ -850,10 +862,12 @@ def _march(accel: GridAccel, origins, dirs, settings: RenderSettings,
     t_cap = None if t_end is None else t_end
     alive0 = setup["inside"] if active is None \
         else setup["inside"] & active
-    state = dict(t=setup["t_entry"], trans=jnp.ones((r,)),
+    # ones/zeros derived from the rays: see _phase_a carry-init note.
+    one_r = origins[:, 0] * 0.0 + 1.0
+    state = dict(t=setup["t_entry"], trans=one_r,
                  alive=alive0, t_far=t_far)
     if with_features:
-        state["acc"] = {k: jnp.zeros((r,)) for k in _ACC_KEYS}
+        state["acc"] = {k: one_r * 0.0 for k in _ACC_KEYS}
 
     # Clip the schedule to the max_steps occupied-composite budget.
     # Entries are (frac, M, a_max) or (frac, M, a_max, a_exit, b_exit);
