@@ -65,15 +65,21 @@ def resolve_backend(backend: str, num_gaussians: int) -> str:
 
 def make_accumulating_renderer(scene, settings: RenderSettings, punctual,
                                spp: int, key=None, backend: str = "auto",
+                               max_dispatch_s: float = 20.0,
                                **backend_kw):
-    """One jitted function: rays -> accumulated radiance over spp samples.
+    """One function: rays -> accumulated radiance over spp samples.
 
     The accumulation loop runs on-device (lax.fori_loop), preserving the
     reference's progressive mix(prev, cur, 1/(n+1)) semantics
     (raygen_camera.rgen:80-87) with bitwise-deterministic order. ``backend``
     selects the traversal structure (render/pipeline.py): dense oracle for
-    small scenes, uniform-grid DDA at scale.
+    small scenes, uniform-grid DDA at scale. Like the tiled pose renderer,
+    the spp loop is segmented so no single dispatch exceeds
+    ``max_dispatch_s`` (DESIGN.md "dispatch watchdog"); segmentation is a
+    pure re-grouping of the fold and changes no numerics.
     """
+    import time as _time
+
     from pathtracer_gaussiansplatting_tpu.render.pipeline import (
         make_trace_backend,
     )
@@ -82,28 +88,48 @@ def make_accumulating_renderer(scene, settings: RenderSettings, punctual,
     base_key = jax.random.PRNGKey(CAPTURE_SEED) if key is None else key
     trace_fn, vis_fn = make_trace_backend(scene, settings, backend,
                                           **backend_kw)
+    calib = {"seg": None}
 
     # Everything array-valued (scene, light tables, Partial-wrapped
     # backends) rides the jit boundary as ARGUMENTS — closure capture would
     # inline them as HLO constants (render/pipeline.py docstring).
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("nsteps",))
     def render_impl(scene_, tables_, trace_fn_, vis_fn_, origins,
-                    directions):
+                    directions, acc0, f0, nsteps):
         rays = Rays(origins, directions)
 
         def body(i, acc):
+            f = f0 + i
             cur = pathtrace(scene_, rays, settings,
-                            rng_mod.frame_key(base_key, i),
+                            rng_mod.frame_key(base_key, f),
                             tables=tables_, punctual=punctual,
                             trace_fn=trace_fn_, visibility_fn=vis_fn_)
-            return acc + (cur - acc) / (i + 1.0)
+            return acc + (cur - acc) / (f + 1.0)
 
-        init = jnp.zeros((origins.shape[0], 3))
-        return jax.lax.fori_loop(0, spp, body, init)
+        return jax.lax.fori_loop(0, nsteps, body, acc0)
 
     def render(origins, directions):
-        return render_impl(scene, tables, trace_fn, vis_fn, origins,
-                           directions)
+        acc = jnp.zeros((origins.shape[0], 3))
+        f0 = 0
+        if calib["seg"] is None and spp > 8:
+            acc = render_impl(scene, tables, trace_fn, vis_fn, origins,
+                              directions, acc, 0, 1)
+            acc = jax.block_until_ready(acc)
+            t0 = _time.perf_counter()
+            acc = render_impl(scene, tables, trace_fn, vis_fn, origins,
+                              directions, acc, 1, 1)
+            acc = jax.block_until_ready(acc)
+            dt = _time.perf_counter() - t0
+            calib["seg"] = max(1, min(int(max_dispatch_s / max(dt, 1e-3)),
+                                      512))
+            f0 = 2
+        seg = calib["seg"] or spp
+        while f0 < spp:
+            n = min(seg, spp - f0)
+            acc = render_impl(scene, tables, trace_fn, vis_fn, origins,
+                              directions, acc, f0, n)
+            f0 += n
+        return acc
 
     return render
 

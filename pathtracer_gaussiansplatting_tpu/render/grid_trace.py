@@ -723,17 +723,26 @@ def _phase_b(accel: GridAccel, origins, dirs, settings: RenderSettings,
     return trans_new, acc, alive
 
 
+import os as _os
+
+# Phase-B transient budget: bounds ONE chunk's gathered packet block.
+# Overridable for measurement (benchmarks/sweep_bbytes.py).
+_B_BYTES = float(_os.environ.get("GSPT_B_BYTES", 2.0e9))
+
+
 def _march_round(accel, origins, dirs, settings, setup, state,
                  with_features, m_slots, a_max, t_cap,
                  a_exit: float = 0.0, b_exit: float = 0.0,
-                 b_bytes: float = 2.0e9):
+                 b_bytes: float = None):
     """One A+B round over a (sub-)batch, mutating the state dict.
 
     Phase B is flat over (ray, slot) pairs; its transient gather output
-    is bounded to ``b_bytes`` by python-chunking the batch (pure
-    dataflow — no while loop, so chunks pipeline freely). ``b_exit`` is
-    accepted for schedule compatibility and unused (flat B always
-    consumes every recorded slot)."""
+    is bounded to ``b_bytes`` (default module _B_BYTES) by
+    python-chunking the batch (pure dataflow — no while loop, so chunks
+    pipeline freely). ``b_exit`` is accepted for schedule compatibility
+    and unused (flat B always consumes every recorded slot)."""
+    if b_bytes is None:
+        b_bytes = _B_BYTES
     del b_exit
 
     def _run(state):
