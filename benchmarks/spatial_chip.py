@@ -72,6 +72,35 @@ def main():
     fence(out)
     dt = (time.perf_counter() - t0) / iters
 
+    # --- r5: the SAME slab step through the per-slab grid accel
+    # (build_slab_accels / _grid_slab_trace_fn — the within-slab
+    # acceleration, VERDICT r4 #8). Measured single-device; the in-ring
+    # kernel body is identical compute (shard_map adds only ppermute).
+    from pathtracer_gaussiansplatting_tpu.parallel.spatial import (
+        build_slab_accels,
+    )
+    from pathtracer_gaussiansplatting_tpu.render import grid_trace as gt
+
+    r_g = int(os.environ.get("GSPT_SPATIAL_RAYS_GRID", 65536))
+    og = jnp.asarray(rng.uniform(-1.2, 1.2, (r_g, 3)).astype(np.float32))
+    dg = rng.normal(size=(r_g, 3)).astype(np.float32)
+    dg /= np.linalg.norm(dg, axis=-1, keepdims=True)
+    dg = jnp.asarray(dg)
+    tables, meta = build_slab_accels(slabbed, s)
+    accel0 = gt.GridAccel(
+        btab=tables["btab"][0], geom=tables["geom"][0],
+        packet=tables["packet"][0], lo=tables["lo"][0],
+        hi=tables["hi"][0], dims=meta.dims, jump_unit=meta.jump_unit)
+    gf = lambda oo, dd: gt.trace_grid(block, Rays(oo, dd), settings,
+                                      accel0)
+    fence(gf(og, dg))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outg = gf(og, dg)
+    fence(outg)
+    dt_g_total = (time.perf_counter() - t0) / iters
+    dt_g = dt_g_total / r_g * r        # per-r-ray-chunk equivalent
+
     feat_dim = 15
     carry_bytes = 4 * (6 + 1 + 4 * (feat_dim + 1))     # per ray per step
     comm_bytes_step = r * carry_bytes
@@ -79,6 +108,9 @@ def main():
     t_comm = comm_bytes_step / ici_bw
     eff_overlap = dt / max(dt, t_comm)
     eff_serial = dt / (dt + t_comm)
+    t_comm_g = r_g * carry_bytes / ici_bw
+    eff_g_overlap = dt_g_total / max(dt_g_total, t_comm_g)
+    eff_g_serial = dt_g_total / (dt_g_total + t_comm_g)
     result = dict(
         metric="spatial-ring per-chip slab step",
         slab_gaussians=nb, rays_per_chip=r, n_slabs=s,
@@ -90,9 +122,25 @@ def main():
         projected_scaling_eff_overlapped=round(eff_overlap, 4),
         projected_scaling_eff_serial=round(eff_serial, 4),
         spatial_rays_per_s=round(r / (s * max(dt, t_comm))),
+        grid_slab=dict(
+            rays_per_chip=r_g,
+            slab_march_ms=round(dt_g_total * 1e3, 2),
+            comm_ms_at_45GBps=round(t_comm_g * 1e3, 4),
+            projected_scaling_eff_overlapped=round(eff_g_overlap, 4),
+            projected_scaling_eff_serial=round(eff_g_serial, 4),
+            spatial_rays_per_s=round(
+                r_g / (s * max(dt_g_total, t_comm_g))),
+            vs_dense_slab_speedup=round(dt / dt_g, 1),
+            note="grid accel per slab (build_slab_accels); honest "
+                 "compute/comm ratio now that slabs are accelerated",
+        ),
         device=str(jax.devices()[0]),
     )
     print(json.dumps(result))
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SPATIAL_CHIP_r05.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -134,10 +134,7 @@ def build_tile_packets(scene: GaussianScene, feats_all, origin, tile_idx,
             wb0, wb1, wb2, c_all, scene.opacities]
     table = jnp.concatenate(
         [jnp.stack(cols, axis=-1), feats_all], axis=-1)  # (N, 11+F)
-    width = table.shape[-1]
-    if width < 128:
-        table = jnp.pad(table, ((0, 0), (0, 128 - width)))
-    rows = table[tile_idx][..., :width]           # (T, K, 11+F)
+    rows = _gather_rows_pad128(table, tile_idx)   # (T, K, 11+F)
     opac = jnp.where(tile_mask, rows[..., _ROW_OPAC], 0.0)
     geom = jnp.concatenate(
         [rows[..., :_ROW_OPAC], opac[..., None]], axis=-1)  # (T, K, 11)
@@ -149,6 +146,31 @@ def build_tile_packets(scene: GaussianScene, feats_all, origin, tile_idx,
     slot1 = jnp.arange(1, k + 1, dtype=jnp.float32)
     count = jnp.max(jnp.where(tile_mask, slot1[None, :], 0.0), axis=-1)
     return dict(geom=geom, featsT=featsT, count=count)
+
+
+@jax.custom_vjp
+def _gather_rows_pad128(table, idx):
+    """Row gather through a 128-col pad (fast-path rows) with a NARROW
+    backward: the autodiff VJP of pad-gather-slice scatter-adds full
+    128-col rows (4-5x the real cotangent bytes at width ~25); this
+    scatters only the table's true width."""
+    width = table.shape[-1]
+    padded = table if width >= 128 else jnp.pad(
+        table, ((0, 0), (0, 128 - width)))
+    return padded[idx][..., :width]
+
+
+def _gather_rows_fwd(table, idx):
+    return _gather_rows_pad128(table, idx), (idx, table.shape)
+
+
+def _gather_rows_bwd(res, d_rows):
+    idx, tshape = res
+    d_table = jnp.zeros(tshape, d_rows.dtype).at[idx].add(d_rows)
+    return d_table, None
+
+
+_gather_rows_pad128.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def _cumprod_excl(x):

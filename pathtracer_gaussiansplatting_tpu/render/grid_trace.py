@@ -728,6 +728,9 @@ import os as _os
 # Phase-B transient budget: bounds ONE chunk's gathered packet block.
 # Overridable for measurement (benchmarks/sweep_bbytes.py).
 _B_BYTES = float(_os.environ.get("GSPT_B_BYTES", 2.0e9))
+# Phase-B slot-group width: slots are consumed _B_GROUP at a time with a
+# per-chunk cond skip between groups (saturated chunks stop gathering).
+_B_GROUP = int(_os.environ.get("GSPT_B_GROUP", 4))
 
 
 def _march_round(accel, origins, dirs, settings, setup, state,
@@ -766,13 +769,39 @@ def _march_round(accel, origins, dirs, settings, setup, state,
             # chunks of sparse-active marches (NEE shadows, late
             # bounces) all take the skip branch — this is what makes
             # march cost proportional to the live fraction.
-            pred = jnp.any(al_c & (ct_c > 0))
-            return jax.lax.cond(
-                pred,
-                lambda: _phase_b(accel, o_c, d_c, settings, sl_c, te_c,
-                                 tx_c, ct_c, tr_c, acc_c, al_c,
-                                 with_features, tc_c),
-                lambda: (tr_c, acc_c, al_c))
+            # INVARIANT the skip branch relies on (ADVICE r4): alive
+            # implies trans > settings.transmittance_min — trans is
+            # seeded to 1.0 and every phase B ends with alive &=
+            # (trans > transmittance_min), so returning (tr_c, acc_c,
+            # al_c) unchanged is exact for a slotless chunk. If state
+            # seeding ever changes, a ray entering with trans below the
+            # cutoff would stay alive here where _phase_b would kill it.
+            # NOTE: these lax.conds only give a runtime skip when traced
+            # unbatched; under vmap they lower to select and BOTH
+            # branches execute (correct, but the live-fraction cost
+            # model no longer holds).
+            # Slot-GROUP split (r5): most rays saturate within the
+            # first few occupied cells (census p50 = 3), so the slots
+            # are consumed in groups of _B_GROUP with the same cond
+            # skip per group — a chunk whose rays all saturated (or
+            # recorded <= g0 cells) skips the remaining groups' packet
+            # gathers entirely. Exact: _phase_b chains (trans, acc,
+            # alive) across groups and the skip invariant above covers
+            # saturation (alive => trans > transmittance_min).
+            for g0 in range(0, m_slots, _B_GROUP):
+                g1 = min(g0 + _B_GROUP, m_slots)
+                ct_g = jnp.clip(ct_c - g0, 0, g1 - g0)
+                pred = jnp.any(al_c & (ct_g > 0))
+                tr_c, acc_c, al_c = jax.lax.cond(
+                    pred,
+                    lambda g0=g0, g1=g1, ct_g=ct_g, tr_c=tr_c,
+                    acc_c=acc_c, al_c=al_c: _phase_b(
+                        accel, o_c, d_c, settings, sl_c[:, g0:g1],
+                        te_c[:, g0:g1], tx_c[:, g0:g1], ct_g, tr_c,
+                        acc_c, al_c, with_features, tc_c),
+                    lambda tr_c=tr_c, acc_c=acc_c, al_c=al_c:
+                    (tr_c, acc_c, al_c))
+            return tr_c, acc_c, al_c
 
         if r <= b_sub:
             trans, acc, alive_b = chunk_b(
