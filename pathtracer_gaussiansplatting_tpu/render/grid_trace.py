@@ -631,10 +631,13 @@ def _phase_b(accel: GridAccel, origins, dirs, settings: RenderSettings,
     miota = jnp.arange(m_slots)
     valid_m = alive[:, None] & (miota[None] < count[:, None])   # (R, M)
     srow = jnp.where(valid_m, slots, 0).reshape(-1)
-    # No optimization_barrier here: in the flat form the gather should
-    # FUSE into its consumers (a pinned (V, C*Kc) buffer at V=R*M is a
-    # multi-GB materialization that OOMed the 1080p frame).
+    # GSPT_B_PIN=1 pins the gathered block so XLA materializes it ONCE
+    # instead of (potentially) re-fusing the gather into each of the
+    # ~25 column consumers. The r4 OOM dead-end was at FULL batch width;
+    # per-chunk V is b_bytes-bounded, so the pinned transient is ~2 GB.
     g = table[srow]                                 # (V, C*Kc), V = R*M
+    if _B_PIN:
+        g = jax.lax.optimization_barrier(g)
 
     def gc(c):
         return g[:, c * kc:(c + 1) * kc]            # (V, Kc)
@@ -730,7 +733,12 @@ import os as _os
 _B_BYTES = float(_os.environ.get("GSPT_B_BYTES", 2.0e9))
 # Phase-B slot-group width: slots are consumed _B_GROUP at a time with a
 # per-chunk cond skip between groups (saturated chunks stop gathering).
-_B_GROUP = int(_os.environ.get("GSPT_B_GROUP", 4))
+# Measured on the flagship trace (sweep_bbytes r5): group=4 is ~6%
+# SLOWER than no split (chunk-granularity saturation is too coarse to
+# skip), so the default keeps the original single-group behavior.
+_B_GROUP = int(_os.environ.get("GSPT_B_GROUP", 8))
+# GSPT_B_PIN=1: materialize each chunk's gathered packet block once.
+_B_PIN = int(_os.environ.get("GSPT_B_PIN", "0"))
 
 
 def _march_round(accel, origins, dirs, settings, setup, state,
