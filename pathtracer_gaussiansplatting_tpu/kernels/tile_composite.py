@@ -148,29 +148,19 @@ def build_tile_packets(scene: GaussianScene, feats_all, origin, tile_idx,
     return dict(geom=geom, featsT=featsT, count=count)
 
 
-@jax.custom_vjp
 def _gather_rows_pad128(table, idx):
-    """Row gather through a 128-col pad (fast-path rows) with a NARROW
-    backward: the autodiff VJP of pad-gather-slice scatter-adds full
-    128-col rows (4-5x the real cotangent bytes at width ~25); this
-    scatters only the table's true width."""
+    """Row gather through a 128-col pad (fast-path rows).
+
+    Plain autodiff on purpose: its backward scatter-adds 128-col rows,
+    and MEASURED (benchmarks/profile_bwd.py, r5) that is the FAST form —
+    (N,128) scatter 16.3 ms vs (N,32) narrow scatter 86.4 ms vs
+    argsort+segment_sum 105 ms at the bench shapes. Narrow rows hit the
+    same slow path scattering as they do gathering; don't "optimize"
+    this into a width-exact custom VJP again."""
     width = table.shape[-1]
     padded = table if width >= 128 else jnp.pad(
         table, ((0, 0), (0, 128 - width)))
     return padded[idx][..., :width]
-
-
-def _gather_rows_fwd(table, idx):
-    return _gather_rows_pad128(table, idx), (idx, table.shape)
-
-
-def _gather_rows_bwd(res, d_rows):
-    idx, tshape = res
-    d_table = jnp.zeros(tshape, d_rows.dtype).at[idx].add(d_rows)
-    return d_table, None
-
-
-_gather_rows_pad128.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def _cumprod_excl(x):
