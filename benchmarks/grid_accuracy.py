@@ -37,7 +37,8 @@ def main():
     n = int(os.environ.get("GSPT_BENCH_N", 500_000))
     w = int(os.environ.get("GSPT_ACC_W", 320))
     h = int(os.environ.get("GSPT_ACC_H", 180))
-    chunk = int(os.environ.get("GSPT_ACC_CHUNK", 8192))
+    # dense oracle materializes (N, chunk, 3): 512 rays x 500k = 3 GB
+    chunk = int(os.environ.get("GSPT_ACC_CHUNK", 512))
 
     scene = surface_scene(n, seed=13)
     settings = RenderSettings(max_depth=4, ambient=(0.05, 0.05, 0.06, 1.0))
@@ -58,9 +59,11 @@ def main():
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
     def run_grid(accel):
-        f = jax.jit(lambda o, d: gt.trace_grid(
-            scene, Rays(o, d), settings, accel))
-        inter = f(rays.origins, rays.directions)
+        # trace_grid is itself jitted: scene/accel ride as ARGUMENTS
+        # (closure capture bakes the tables into the HLO -> HTTP 413
+        # on the axon remote-compile service).
+        inter = gt.trace_grid(scene, Rays(rays.origins, rays.directions),
+                              settings, accel)
         return ({k: np.asarray(inter[k])
                  for k in ("albedo", "alpha_acc", "depth")},
                 int(inter["frozen_alive"]))
