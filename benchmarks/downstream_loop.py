@@ -67,8 +67,8 @@ def main():
 
     scene_gt = surface_scene(n_gt, seed=13)
     settings = RenderSettings(max_depth=4, ambient=(0.05, 0.05, 0.06, 1.0))
-    torus = TorusConfig(major_radius=2.5, minor_radius=0.5, height=0.3,
-                        num_rays=n_pc_rays)
+    torus = TorusConfig(major_radius=1.2, minor_radius=0.4, height=0.2,
+                        num_rays=n_pc_rays)  # INSIDE the room (half 2,1.5,2)
 
     t0 = time.time()
     res_cap = capture_scene_data(
