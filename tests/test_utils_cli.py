@@ -293,3 +293,37 @@ class TestFrozenAliveReport:
         render(toroidal_c2w(30.0, 10.0, 2.0, 0.3), 16, 16, 45.0,
                stats_out=stats)
         assert stats.get("frozen_alive", -1.0) == 0.0
+
+
+class TestDispatchSegmentation:
+    """Dispatch-bounded spp segmentation must not change numerics
+    (DESIGN.md 'dispatch watchdog'): the accumulation is a pure fold
+    over the absolute frame index, so any segment grouping is exact."""
+
+    def test_flat_renderer_segmenting_is_exact(self):
+        import numpy as np
+
+        from pathtracer_gaussiansplatting_tpu.core.camera import (
+            generate_rays, Camera, look_at,
+        )
+        from pathtracer_gaussiansplatting_tpu.core.types import (
+            RenderSettings,
+        )
+        from pathtracer_gaussiansplatting_tpu.data.capture import (
+            make_accumulating_renderer,
+        )
+        from utils import random_scene
+
+        scene = random_scene(120, np.random.default_rng(2), spread=1.0)
+        settings = RenderSettings(max_depth=2)
+        cam = Camera(c2w=look_at((0, 0.3, 4.0), (0, 0, 0)),
+                     fov_y_deg=45.0, width=8, height=8)
+        rays = generate_rays(cam)
+        # huge budget -> one segment; tiny budget -> per-sample dispatches
+        one = make_accumulating_renderer(scene, settings, None, spp=12,
+                                         max_dispatch_s=1e9)
+        many = make_accumulating_renderer(scene, settings, None, spp=12,
+                                          max_dispatch_s=1e-9)
+        a = np.asarray(one(rays.origins, rays.directions))
+        b = np.asarray(many(rays.origins, rays.directions))
+        np.testing.assert_allclose(a, b, atol=2e-6)
