@@ -304,8 +304,9 @@ def main():
                               "median of 2 iters",
         "pose_s": round(pose_s_512, 1),
         "pose_config": f"800x800 depth-{pt_depth} capture pose, 512 spp "
-                       f"(measured {pose_spp} spp in one fori_loop jit, "
-                       f"scaled linearly)",
+                       f"(measured {pose_spp} real spp through the "
+                       "production calibrated-segment renderer, scaled "
+                       "linearly)",
         "mfu": round(mfu, 4),
         "achieved_tflops": round(achieved_flops / 1e12, 2),
         "hbm_gbps": round(hbm_gbps, 1),

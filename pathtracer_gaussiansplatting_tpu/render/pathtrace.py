@@ -490,6 +490,21 @@ def _primary_stage(scene, camera, settings, config, jitter=None,
     return origins, dirs, primary
 
 
+@partial(jax.jit, static_argnames=("settings", "return_aux"))
+def _chunk_pathtrace(scene, origins, dirs, tables, punctual, trace_fn,
+                     visibility_fn, primary, key, settings,
+                     return_aux):
+    """Jit wrapper for one bounce-continuation chunk: the backend
+    Partials ride as pytree ARGUMENTS (their accel tables would
+    otherwise be baked into the HLO as constants via pathtrace's
+    static trace_fn arg — the axon remote-compile service rejects
+    such modules with HTTP 413; render/pipeline.py docstring)."""
+    return pathtrace(scene, Rays(origins, dirs), settings, key,
+                     tables=tables, punctual=punctual, trace_fn=trace_fn,
+                     visibility_fn=visibility_fn,
+                     primary_interaction=primary, return_aux=return_aux)
+
+
 def pathtrace_camera_chunked(scene, camera, settings: RenderSettings, key,
                              n_chunks: int, packets=None, tables=None,
                              punctual=None, trace_fn=None,
@@ -521,12 +536,11 @@ def pathtrace_camera_chunked(scene, camera, settings: RenderSettings, key,
     for ci, s in enumerate(range(0, r, chunk)):
         e = min(s + chunk, r)
         sl = lambda x, s=s, e=e: x[s:e]
-        res = pathtrace(scene, Rays(origins[s:e], dirs[s:e]), settings,
-                        jax.random.fold_in(key, ci), tables=tables,
-                        punctual=punctual, trace_fn=trace_fn,
-                        visibility_fn=visibility_fn,
-                        primary_interaction=jax.tree.map(sl, primary),
-                        return_aux=return_aux)
+        res = _chunk_pathtrace(scene, origins[s:e], dirs[s:e], tables,
+                               punctual, trace_fn, visibility_fn,
+                               jax.tree.map(sl, primary),
+                               jax.random.fold_in(key, ci), settings,
+                               return_aux)
         if return_aux:
             parts.append(res[0])
             frozen = frozen + res[1]["frozen_alive"]
