@@ -364,8 +364,18 @@ def capture_scene_data(scene, out_dir: str,
     trace_fn, _ = make_trace_backend(scene, settings, flat_backend)
     train_frames, test_frames = [], []
     os.makedirs(os.path.join(out_dir, "train"), exist_ok=True)
-    journal = CaptureProgress(os.path.join(out_dir, ".progress.json")) \
-        if resume else None
+    # Fingerprint everything that changes pose geometry or image content:
+    # a stale journal under a different config must NOT be resumed
+    # (utils/checkpoint.CaptureProgress docstring).
+    fingerprint = (
+        f"seed={CAPTURE_SEED};torus={torus.major_radius},{torus.height};"
+        f"beta={min_beta},{max_beta};res={width}x{height}/{image_divisor};"
+        f"fov={fov_y_deg};spp={accumulation_steps};"
+        f"poses={total_positions};backend={backend};"
+        f"scene_n={scene.num_gaussians};"
+        f"depth={settings.max_depth}")
+    journal = CaptureProgress(os.path.join(out_dir, ".progress.json"),
+                              fingerprint=fingerprint) if resume else None
 
     fov_x = None
     bin_stats = {}

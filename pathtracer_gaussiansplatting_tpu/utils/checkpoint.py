@@ -78,14 +78,37 @@ def load_scene(path: str):
 
 
 class CaptureProgress:
-    """Journal of completed capture poses (JSON file, atomic rewrite)."""
+    """Journal of completed capture poses (JSON file, atomic rewrite).
 
-    def __init__(self, path: str):
+    ``fingerprint`` guards resume against CONFIG DRIFT: a journal written
+    under a different capture configuration (camera geometry, resolution,
+    spp, scene identity, ...) is discarded with a warning instead of
+    silently mixing old images with new transforms — resuming a
+    radius-changed capture produced a corrupt dataset in r5 testing
+    (DOWNSTREAM v2: old-pose images paired with new-pose cameras).
+    """
+
+    def __init__(self, path: str, fingerprint=None):
         self.path = path
         self.done = set()
+        self.fingerprint = fingerprint
         if os.path.exists(path):
             with open(path) as f:
-                self.done = set(json.load(f)["done"])
+                data = json.load(f)
+            old_fp = data.get("fingerprint")
+            if fingerprint is not None and old_fp is not None \
+                    and old_fp != fingerprint:
+                from pathtracer_gaussiansplatting_tpu.utils.logging import (
+                    get_logger,
+                )
+
+                get_logger().warning(
+                    "capture journal %s was written under a different "
+                    "configuration (fingerprint %s != %s) — discarding "
+                    "it; all poses will be re-captured",
+                    path, old_fp, fingerprint)
+            else:
+                self.done = set(data["done"])
 
     def is_done(self, index: int) -> bool:
         return index in self.done
@@ -95,5 +118,6 @@ class CaptureProgress:
         tmp = self.path + ".tmp"
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
         with open(tmp, "w") as f:
-            json.dump(dict(done=sorted(self.done)), f)
+            json.dump(dict(done=sorted(self.done),
+                           fingerprint=self.fingerprint), f)
         os.replace(tmp, self.path)

@@ -327,3 +327,22 @@ class TestDispatchSegmentation:
         a = np.asarray(one(rays.origins, rays.directions))
         b = np.asarray(many(rays.origins, rays.directions))
         np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+class TestJournalFingerprint:
+    """A capture journal written under a different configuration is
+    discarded on resume (r5: a radius-changed resume silently produced a
+    dataset mixing old images with new transforms)."""
+
+    def test_mismatched_fingerprint_discards_journal(self, tmp_path):
+        path = str(tmp_path / "p.json")
+        j = ckpt.CaptureProgress(path, fingerprint="cfg-A")
+        j.mark(0)
+        j.mark(1)
+        same = ckpt.CaptureProgress(path, fingerprint="cfg-A")
+        assert same.is_done(1)
+        other = ckpt.CaptureProgress(path, fingerprint="cfg-B")
+        assert not other.is_done(0) and not other.is_done(1)
+        # legacy journals without a fingerprint still resume
+        legacy = ckpt.CaptureProgress(path, fingerprint=None)
+        assert legacy.is_done(1)
