@@ -739,6 +739,8 @@ _B_BYTES = float(_os.environ.get("GSPT_B_BYTES", 2.0e9))
 _B_GROUP = int(_os.environ.get("GSPT_B_GROUP", 8))
 # GSPT_B_PIN=1: materialize each chunk's gathered packet block once.
 _B_PIN = int(_os.environ.get("GSPT_B_PIN", "0"))
+# Smallest phase-B chunk (rays); sweep floor for GSPT_B_BYTES.
+_B_SUB_MIN = int(_os.environ.get("GSPT_B_SUB_MIN", "4096"))
 
 
 def _march_round(accel, origins, dirs, settings, setup, state,
@@ -765,7 +767,7 @@ def _march_round(accel, origins, dirs, settings, setup, state,
         r = origins.shape[0]
         table = accel.packet if with_features else accel.geom
         b_sub = int(b_bytes / max(m_slots * table.shape[1] * 4, 1))
-        b_sub = max(4096, -(-b_sub // 256) * 256)
+        b_sub = max(_B_SUB_MIN, -(-b_sub // 256) * 256)
         acc0 = state.get("acc")
 
         def chunk_b(o_c, d_c, sl_c, te_c, tx_c, ct_c, tr_c, acc_c, al_c,
